@@ -1,0 +1,118 @@
+"""Feature scripts: 2-mer composition of 48-base windows, packed int96.
+
+Re-derivation of the reference's type-2_48 features (src/pmpfinder.cpp:541-652):
+
+  - One script per 16-base step: f[i] counts the 2-mers of the 48 bases
+    starting at base 16*i (positions 16*i .. 16*i+47, each using base j,j+1).
+  - 15 of the 16 2-mers are counted in 6-bit lanes packed 5-per-int32
+    (3 ints = "int96"); TT and any 2-mer containing N map to bit 31 and are
+    discarded (add 0).
+  - Script distance = sum over lanes |lane1 - lane2| computed with the
+    borrow-free trick d = s1 + 0x... - s2 per int (exactly as
+    __scriptDist63_31, including its overflow behavior for counts > 31).
+  - Window distance between 96-base windows = scriptDist(f1[a], f2[b]) +
+    scriptDist(f1[a+3], f2[b+3])  (the 2 disjoint 48-base scripts).
+
+Feature arrays are (n, 3) int32; n = floor((len - 48) / 16) + 1 scripts.
+Length quirk reproduced: the reference's serial builder generates
+ceil((len - 49) / 16) + 1 scripts (its loop stops at len-49), one fewer than
+the parallel builder for some lengths; we follow the parallel builder
+(resize((len-48)>>4)+1) which is what production runs use.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+SCPT_STEP = 16
+SCPT_BIT = 4
+WINDOW48 = 48
+WINDOW_SIZE = 96  # cell_size(16) * cell_num(6)
+
+MAX31 = 31
+MXU31 = (MAX31 << 24) + (MAX31 << 18) + (MAX31 << 12) + (MAX31 << 6) + MAX31
+
+# units table (src/pmpfinder.cpp:541): maps 2-mer ord (5*a+b) to (int_idx, bit)
+# N* , *N and TT go to bit 31 which is masked off.
+_INF = 31
+_UNITS = [
+    0, 6, 12, 18, _INF,
+    24, (1 << 8) + 0, (1 << 8) + 6, (1 << 8) + 12, _INF,
+    (1 << 8) + 18, (1 << 8) + 24, (2 << 8) + 0, (2 << 8) + 6, _INF,
+    (2 << 8) + 12, (2 << 8) + 18, (2 << 8) + 24, _INF, _INF,
+    _INF, _INF, _INF, _INF, _INF,
+]
+_UNIT_INT = np.array([u >> 8 for u in _UNITS], dtype=np.int64)
+_UNIT_BIT = np.array([u & 255 for u in _UNITS], dtype=np.int64)
+_INFI_MASK30 = (1 << 31) - 1
+# addend per 2-mer code: (1 << bit) & mask30  (N/TT -> 0)
+_UNIT_ADD = ((1 << _UNIT_BIT.astype(np.int64)) & _INFI_MASK30).astype(np.int64)
+
+
+def n_scripts(seq_len: int) -> int:
+    if seq_len < WINDOW48:
+        return 0
+    return ((seq_len - WINDOW48) >> SCPT_BIT) + 1
+
+
+def create_features(seq: np.ndarray) -> np.ndarray:
+    """Feature scripts for one sequence -> int32 array (n_scripts, 3).
+
+    Vectorized: per-position 2-mer codes -> per-int addends -> 16-base cell
+    sums -> 3-cell script sums. Equivalent to createFeatures2_48.
+    """
+    n = n_scripts(len(seq))
+    if n == 0:
+        return np.zeros((0, 3), dtype=np.int32)
+    # The final script may touch the 2-mer at position len-1, whose second
+    # base is one past the end (the C++ reads past the buffer there; we treat
+    # the phantom base as 'A', consistent with zero-fill past SeqAn buffers).
+    b = np.concatenate([seq.astype(np.int64), [0]])
+    ord2 = b[:-1] * 5 + b[1:]  # 2-mer codes for positions 0..len-1
+    which = _UNIT_INT[ord2]  # target int of each position
+    add = _UNIT_ADD[ord2]
+    # per-int contribution arrays
+    contrib = np.zeros((3, len(ord2)), dtype=np.int64)
+    for t in range(3):
+        contrib[t] = np.where(which == t, add, 0)
+    # script i sums positions [16i, 16i+48)
+    csum = np.zeros((3, len(ord2) + 1), dtype=np.int64)
+    np.cumsum(contrib, axis=1, out=csum[:, 1:])
+    starts = np.arange(n) * SCPT_STEP
+    ends = starts + WINDOW48
+    f = (csum[:, ends] - csum[:, starts]).T  # (n, 3)
+    return (f & 0xFFFFFFFF).astype(np.uint32).astype(np.int32)
+
+
+def script_dist(s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
+    """_scriptDist63_31 between int96 scripts; s1, s2 shape (..., 3) int32.
+
+    Replicates the int32 wrap-around semantics of the C++ exactly.
+    """
+    d = (s1.astype(np.int64) + MXU31 - s2.astype(np.int64)).astype(np.int64)
+    d = (d & 0xFFFFFFFF).astype(np.int64)  # int32 wrap like the C++
+    total = np.zeros(d.shape[:-1], dtype=np.int64)
+    for shift in (24, 18, 12, 6, 0):
+        total = total + np.abs(((d >> shift) & 63) - MAX31).sum(axis=-1)
+    return total
+
+
+def window_dist(f1: np.ndarray, f2: np.ndarray, a, b) -> np.ndarray:
+    """_windowDist2_48: 96-base window distance between script a of f1 and
+    script b of f2 (script indices, i.e. base offset / 16). Vectorized over
+    arrays a, b. No bounds checking (caller guarantees a+3, b+3 valid)."""
+    return script_dist(f1[a], f2[b]) + script_dist(f1[a + 3], f2[b + 3])
+
+
+def window_dist_checked(f1: np.ndarray, f2: np.ndarray, a, b, abort_score: int = 1000):
+    """_windowDist (src/pmpfinder.cpp:680): bounds-checked variant used by the
+    gap module; out-of-bounds gives abort_score. d = scpt_num*(int_step-1) = 4."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    d = 2 * (3 - 1)  # scpt_num * (scpt_int_step - 1)
+    ok = (a + d < len(f1)) & (b + d < len(f2)) & (a >= 0) & (b >= 0)
+    out = np.full(a.shape, abort_score, dtype=np.int64)
+    if np.any(ok):
+        av = np.where(ok, a, 0)
+        bv = np.where(ok, b, 0)
+        out = np.where(ok, window_dist(f1, f2, av, bv), out)
+    return out

@@ -1,0 +1,152 @@
+"""Sequence I/O: fasta/fastq(.gz) readers and Dna5 <-> u8 encoding.
+
+Mirrors the reference's SeqAn-based record loading (reference:
+src/base.cpp:131 loadRecords; Dna5 ordValue encoding A=0 C=1 G=2 T=3 N=4).
+All sequences are numpy uint8 code arrays on the host; the device pipeline
+consumes padded batches of these.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass, field
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+# Dna5 ordValue table: everything not ACGTacgt maps to N(4),
+# matching SeqAn's Dna5 conversion used by the reference.
+_CODE = np.full(256, 4, dtype=np.uint8)
+for i, c in enumerate("ACGT"):
+    _CODE[ord(c)] = i
+    _CODE[ord(c.lower())] = i
+
+_DECODE = np.frombuffer(b"ACGTN", dtype=np.uint8)
+# complement: A<->T C<->G, N->N  (reference: src/base.cpp:325 _complt "tgcan")
+_COMP = np.array([3, 2, 1, 0, 4], dtype=np.uint8)
+
+
+def encode(seq: bytes | str) -> np.ndarray:
+    """ASCII sequence -> uint8 codes (A0 C1 G2 T3 N4)."""
+    if isinstance(seq, str):
+        seq = seq.encode()
+    return _CODE[np.frombuffer(seq, dtype=np.uint8)]
+
+
+def decode(codes: np.ndarray) -> str:
+    return _DECODE[codes].tobytes().decode()
+
+
+def revcomp(codes: np.ndarray) -> np.ndarray:
+    """Reverse complement of a code array (reference: _compltRvseStr)."""
+    return _COMP[codes[::-1]]
+
+
+def _open_maybe_gz(path: str) -> io.BufferedReader:
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rb")  # type: ignore[return-value]
+    return open(path, "rb")
+
+
+def read_seq_records(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """Stream (id, codes) records from a fasta/fastq file, optionally gzipped.
+
+    The id is the first whitespace-delimited token of the header line,
+    matching how SeqAn's readRecord populates meta used by the reference.
+    """
+    fh = _open_maybe_gz(path)
+    try:
+        first = fh.read(1)
+        if not first:
+            return
+        if first == b">":
+            header = fh.readline().strip()
+            chunks: List[bytes] = []
+            for raw in fh:
+                line = raw.strip()
+                if line.startswith(b">"):
+                    yield _meta_id(header), encode(b"".join(chunks))
+                    header = line[1:]
+                    chunks = []
+                elif line:
+                    chunks.append(line)
+            yield _meta_id(header), encode(b"".join(chunks))
+        elif first == b"@":
+            header = fh.readline().strip()
+            while True:
+                seq = fh.readline().strip()
+                plus = fh.readline()
+                qual = fh.readline()
+                if not qual and not seq:
+                    break
+                yield _meta_id(header), encode(seq)
+                nxt = fh.readline()
+                if not nxt:
+                    break
+                if not nxt.startswith(b"@"):
+                    raise ValueError(f"malformed fastq near {nxt[:40]!r}")
+                header = nxt[1:].strip()
+                del plus
+        else:
+            raise ValueError(f"unrecognized sequence file format: {path}")
+    finally:
+        fh.close()
+
+
+def _meta_id(header: bytes) -> str:
+    # SeqAn keeps the full meta line; the reference prints the full meta as
+    # read id (qName) and genome id. Keep full header to match SAM output.
+    return header.decode()
+
+
+@dataclass
+class SeqSet:
+    """A loaded set of sequences (genomes or a read block)."""
+
+    ids: List[str] = field(default_factory=list)
+    seqs: List[np.ndarray] = field(default_factory=list)
+
+    def __len__(self) -> int:
+        return len(self.seqs)
+
+    @property
+    def lengths(self) -> List[int]:
+        return [len(s) for s in self.seqs]
+
+
+def load_genomes(paths: List[str]) -> SeqSet:
+    """Load all genome fasta files (reference: loadRecords src/base.cpp:131)."""
+    out = SeqSet()
+    for p in paths:
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"E[06]: can't open file {p}")
+        for rid, codes in read_seq_records(p):
+            out.ids.append(rid)
+            out.seqs.append(codes)
+    return out
+
+
+def read_blocks(path: str, block_size: int = 50000) -> Iterator[SeqSet]:
+    """Stream reads in blocks (reference: map() 50k-read blocks,
+    src/mapper.cpp:892)."""
+    block = SeqSet()
+    for rid, codes in read_seq_records(path):
+        block.ids.append(rid)
+        block.seqs.append(codes)
+        if len(block) >= block_size:
+            yield block
+            block = SeqSet()
+    if len(block):
+        yield block
+
+
+def write_fasta(path: str, ids: List[str], seqs: List[np.ndarray], width: int = 80) -> None:
+    with open(path, "w") as fh:
+        for rid, s in zip(ids, seqs):
+            fh.write(f">{rid}\n")
+            txt = decode(s)
+            for i in range(0, len(txt), width):
+                fh.write(txt[i : i + width] + "\n")
