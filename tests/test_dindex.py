@@ -55,7 +55,7 @@ def test_build_query_recall():
     assert len(anchors) > 10
     # forward anchors on the true diagonal: x - y == pos
     diag = C.anchor_x(anchors).astype(np.int64) - C.cord_y(anchors).astype(np.int64)
-    frac = np.mean(np.abs(diag - pos) < 3)
+    frac = np.mean(np.abs(diag - pos) <= 8)
     assert frac > 0.5, f"true-diagonal fraction {frac}"
 
 
@@ -73,7 +73,7 @@ def test_query_reverse_strand():
     x = C.anchor_x(anchors).astype(np.int64)
     y = C.cord_y(anchors).astype(np.int64)
     diag = x - y
-    frac = np.mean(np.abs(diag - (pos - 21 + 1)) < 3)
+    frac = np.mean(np.abs(diag - (pos - 21 + 1)) <= 8)
     assert frac > 0.5, f"rc diag fraction {frac}"
 
 
