@@ -1,0 +1,127 @@
+"""Host mapping orchestration: genomes + reads -> cords -> SAM/APF.
+
+Mirrors the reference's production pipeline path (Mapper::p_calRecords
+src/mapper.cpp:404-473 + print path :476-595): per read
+  features(fwd, rc) -> apxMap -> [mapGaps] -> cords2BamLink -> fill -> SAM.
+
+This is the exact host oracle; the TPU device pipeline (linear_tpu.ops /
+linear_tpu.parallel) accelerates the hot stages and must reproduce these
+results bit-for-bit on the device/host boundary (cords).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..index import dindex as DI
+from ..ops import features as F
+from ..utils import seqio
+from ..out import bamlink as BL
+from ..out.apf import print_cords_apf
+from . import pmpfinder as PMP
+
+THD_MIN_READ_LEN = 200  # src/mapper.cpp:430
+
+
+@dataclass
+class MapperConfig:
+    """CLI-level options subset (reference Options, src/base.cpp:26-54)."""
+
+    gap_len: int = 1           # -g; 0 disables the gap module
+    apx_chain_flag: int = 1    # -c inverse; f_chain
+    aln_flag: int = 0          # -a
+    output_type: int = 2       # -ot; 1 apf, 2 sam, 4 bam, 8 pbsv-bam
+    threads: int = 16          # -t (affects index build block decomposition)
+    index_type: int = 1        # -i
+    preset: int = 0            # -p; preset 1 sets thd_DI=80, thd_X=200
+    read_group: str = "default_rg"
+    sample_name: str = "default_sm"
+    cmd_line: str = ""
+    sequence_sam: int = 0
+
+    @property
+    def thd_DI(self) -> int:
+        return 80 if self.preset == 1 else BL.INF60
+
+    @property
+    def thd_X(self) -> int:
+        return 200 if self.preset == 1 else BL.INF60
+
+
+class Mapper:
+    """Holds genomes, features, index; maps read blocks."""
+
+    def __init__(self, genome_paths: List[str], cfg: Optional[MapperConfig] = None):
+        self.cfg = cfg or MapperConfig()
+        gset = seqio.load_genomes(genome_paths)
+        # genome ids are truncated at the first space (src/base.cpp:188-195)
+        self.genome_ids = [g.split(" ")[0] for g in gset.ids]
+        self.genomes = gset.seqs
+        self.genome_lens = [len(s) for s in self.genomes]
+        self.f2: List[PMP.Feats] = []
+        self.index: Optional[DI.DIndex] = None
+
+    def create_features(self) -> None:
+        self.f2 = [PMP.Feats(F.create_features(s)) for s in self.genomes]
+
+    def create_index(self) -> None:
+        self.index = DI.build_dindex(self.genomes, threads_emul=self.cfg.threads)
+
+    def prepare(self) -> None:
+        if not self.f2:
+            self.create_features()
+        if self.index is None:
+            self.create_index()
+
+    def map_read(self, read: np.ndarray):
+        """Per-read body of p_calRecords. Returns (cords_str, cords_end,
+        cords_info)."""
+        if len(read) <= THD_MIN_READ_LEN:
+            return [], [], []
+        rc = seqio.revcomp(read)
+        f1 = [PMP.Feats(F.create_features(read)), PMP.Feats(F.create_features(rc))]
+        pm = PMP.PMPParms()
+        cords_str, cords_end, apx_gaps, cords_info = PMP.apx_map(
+            self.index, read, f1, self.f2, f_chain=self.cfg.apx_chain_flag, pm=pm
+        )
+        if self.cfg.gap_len:
+            from . import gap as GAP
+
+            GAP.map_gaps(
+                self.genomes, read, rc, cords_str, cords_end, apx_gaps, f1, self.f2,
+                GAP.GapParms(thd_gap_len_min=self.cfg.gap_len),
+            )
+            GAP.reform_cords(cords_str, cords_end)
+        return cords_str, cords_end, cords_info
+
+    def map_block(self, reads: seqio.SeqSet):
+        """Map a block of reads; returns (all_cords_str, all_cords_end,
+        sam_text) plus apf text when requested."""
+        all_str: List[List[int]] = []
+        all_end: List[List[int]] = []
+        sam_parts: List[str] = []
+        for rid, read in zip(reads.ids, reads.seqs):
+            cords_str, cords_end, cords_info = self.map_read(read)
+            all_str.append(cords_str)
+            all_end.append(cords_end)
+            records = BL.cords2bamlink(
+                cords_str, cords_end, len(read),
+                thd_large_X=8000, thd_DI=self.cfg.thd_DI, thd_X=self.cfg.thd_X,
+            )
+            BL.fill_bam_records(records, self.genome_ids, rid)
+            sam_parts.extend(line + "\n" for line in BL.sam_lines(records))
+        return all_str, all_end, "".join(sam_parts)
+
+    def sam_header(self) -> str:
+        return BL.sam_header(
+            self.genome_ids, self.genome_lens,
+            self.cfg.read_group, self.cfg.sample_name, self.cfg.cmd_line,
+        )
+
+    def apf_block(self, cords_set: List[List[int]], reads: seqio.SeqSet) -> str:
+        return print_cords_apf(
+            cords_set, self.genome_lens, self.genome_ids,
+            [len(s) for s in reads.seqs], reads.ids,
+        )
