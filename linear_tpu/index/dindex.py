@@ -74,7 +74,8 @@ def sampled_minimizers(
         if t_end <= t_str:
             continue
         sh = H.genome_stream_hashes(seq, t_str, t_end, span)
-        H.patch_n_neighborhoods(seq, sh, span, "genome")
+        if not H.patch_n_neighborhoods(seq, sh, span, "genome"):
+            continue
         # samples: count>min_step first at t_str+min_step, then every stride
         sample_idx = np.arange(min_step, t_end - t_str, stride)
         if len(sample_idx) == 0:
@@ -155,8 +156,7 @@ def query_anchors(
     span, weight = index.span, index.weight
     read_len = len(read)
     sh = H.read_stream_hashes(read, read_str, read_end, span)
-    H.patch_n_neighborhoods(read, sh, span, "read")
-    if len(sh.j) == 0:
+    if len(sh.j) == 0 or not H.patch_n_neighborhoods(read, sh, span, "read"):
         return np.zeros(0, U64)
     # dt counter: XValue evaluated at every thd_alpha-th call
     sample_idx = np.arange(thd_alpha - 1, len(sh.j), thd_alpha)

@@ -35,7 +35,10 @@ class MapperConfig:
     output_type: int = 2       # -ot; 1 apf, 2 sam, 4 bam, 8 pbsv-bam
     threads: int = 16          # -t (affects index build block decomposition)
     index_type: int = 1        # -i
-    preset: int = 0            # -p; preset 1 sets thd_DI=80, thd_X=200
+    # -p; the reference's EFFECTIVE default is 1 (Options ctor sensitivity(1),
+    # src/base.cpp:43; no CLI default registered): thd_DI=80, thd_X=200 and
+    # anchor-chain stop-ratio 0 (src/mapper.cpp:181-188)
+    preset: int = 1
     read_group: str = "default_rg"
     sample_name: str = "default_sm"
     cmd_line: str = ""
@@ -64,7 +67,9 @@ class Mapper:
         self.index: Optional[DI.DIndex] = None
 
     def create_features(self) -> None:
-        self.f2 = [PMP.Feats(F.create_features(s)) for s in self.genomes]
+        self.f2 = [
+            PMP.Feats(F.create_features_genome(s, self.cfg.threads)) for s in self.genomes
+        ]
 
     def create_index(self) -> None:
         self.index = DI.build_dindex(self.genomes, threads_emul=self.cfg.threads)
@@ -81,7 +86,10 @@ class Mapper:
         if len(read) <= THD_MIN_READ_LEN:
             return [], [], []
         rc = seqio.revcomp(read)
-        f1 = [PMP.Feats(F.create_features(read)), PMP.Feats(F.create_features(rc))]
+        f1 = [
+            PMP.Feats(F.create_features_serial(read)),
+            PMP.Feats(F.create_features_serial(rc)),
+        ]
         pm = PMP.PMPParms()
         cords_str, cords_end, apx_gaps, cords_info = PMP.apx_map(
             self.index, read, f1, self.f2, f_chain=self.cfg.apx_chain_flag, pm=pm

@@ -56,6 +56,10 @@ class PMPParms:
     gdl_list_n: int = 20         # GetDHitListParms (toggle(1) is the default)
     gdl_best_n: int = 1
     cah_score_type: int = 0      # ChainAnchorsHitsParms.f_score_type
+    # ChainAnchorsHitsParms.thd_stop_chain_len_ratio is 0.7 in its ctor, but
+    # the EFFECTIVE default is 0: Options ctor sets sensitivity=1
+    # (src/base.cpp:43) and loadOptions preset-1 zeroes it (src/mapper.cpp:184)
+    cah_stop_ratio: float = 0.0
     apx_sen: float = 0.7         # ApxParms.thd_sen
 
     def toggle(self, i: int) -> None:
@@ -723,7 +727,7 @@ def chain_anchors_hits(anchors: List[int], hits: List[int], hits_score: List[int
     chains, chains_score = CH.chain_anchors_base(
         arr, 0, len(anchors),
         thd_chain_depth=20, thd_chain_dx_depth=300,
-        thd_best_n=50, stop_ratio=0.7,
+        thd_best_n=50, stop_ratio=pm.cah_stop_ratio,
         min_len=1, abort_score=45,
         get_score=get_score, parms=CH.ChainScoreParms(),
         get_anchor_x=anchor_x,
@@ -748,7 +752,14 @@ def get_anchor_hits_chains(
     thd_anchor_accept_min = 2
     thd_large_gap = 600
     thd_anchor_err_bit = 2
+    import os
+    if os.environ.get("LINEAR_DBG"):
+        for i, a in enumerate(anchors):
+            print(f"DBGANC0 {i} {a}")
     filter_anchors(anchors, thd_anchor_accept_density, thd_anchor_accept_min, thd_anchor_err_bit)
+    if os.environ.get("LINEAR_DBG"):
+        for i, a in enumerate(anchors):
+            print(f"DBGANC1 {i} {a}")
     hits_score.clear()
     hits_score.append(0)
     chain_anchors_hits(anchors, hits, hits_score, pm)
@@ -835,7 +846,15 @@ def apx_map_(
     hits.append(FLAG_END)  # initHits
     anchors: List[int] = [0]  # anchors.init(1)
     hits_score: List[int] = []
+    import os
+    if os.environ.get("LINEAR_DBG"):
+        print(f"DBGCALL apxMap_ {cy(map_str)} {cy(map_end)}")
     mn_map_read_list(index, read, anchors, hits, hits_score, map_str, map_end, alg_type, pm)
+    if os.environ.get("LINEAR_DBG"):
+        for i, h in enumerate(hits):
+            print(f"DBGHIT {i} {h}")
+        for i, sc in enumerate(hits_score):
+            print(f"DBGHSC {i} {sc}")
     read_str = cy(map_str)
     read_end = cy(map_end)
     n_block = 0
@@ -846,6 +865,9 @@ def apx_map_(
     for i in range(len(cords_info)):
         cords_info[i] = 100 - i
     path_dst(hits, f1, f2, cords, read_str, read_end, len(read), alg_type)
+    if os.environ.get("LINEAR_DBG"):
+        for i, c in enumerate(cords):
+            print(f"DBGCORD {i} {c}")
 
 
 def apx_map(

@@ -49,9 +49,22 @@ _UNIT_ADD = ((1 << _UNIT_BIT.astype(np.int64)) & _INFI_MASK30).astype(np.int64)
 
 
 def n_scripts(seq_len: int) -> int:
+    """Parallel-builder script count (createFeatures2_48 threads variant,
+    src/pmpfinder.cpp:596): ((len-48)>>4)+1."""
     if seq_len < WINDOW48:
         return 0
     return ((seq_len - WINDOW48) >> SCPT_BIT) + 1
+
+
+def n_scripts_serial(seq_len: int) -> int:
+    """Serial-builder script count (createFeatures2_48, src/pmpfinder.cpp:556):
+    the stream loop runs for i in [16, len-49) step 16, yielding
+    1 + max(0, (len-50)//16) scripts — one fewer than the parallel builder
+    when (len-48) % 16 <= 1. Read features use THIS count (createFeatures is
+    called without threads for reads, src/mapper.cpp:445)."""
+    if seq_len < WINDOW48:
+        return 0
+    return 1 + max(0, (seq_len - 50) >> SCPT_BIT)
 
 
 def create_features(seq: np.ndarray) -> np.ndarray:
@@ -81,6 +94,21 @@ def create_features(seq: np.ndarray) -> np.ndarray:
     ends = starts + WINDOW48
     f = (csum[:, ends] - csum[:, starts]).T  # (n, 3)
     return (f & 0xFFFFFFFF).astype(np.uint32).astype(np.int32)
+
+
+def create_features_serial(seq: np.ndarray) -> np.ndarray:
+    """Feature scripts with the SERIAL builder's length (values identical to
+    create_features, count per n_scripts_serial). Used for read features."""
+    return create_features(seq)[: n_scripts_serial(len(seq))]
+
+
+def create_features_genome(seq: np.ndarray, threads: int) -> np.ndarray:
+    """Genome features: parallel builder count, EXCEPT the reference falls
+    back to the serial builder when range < threads (src/pmpfinder.cpp:598)."""
+    rng = n_scripts(len(seq))
+    if rng < threads:
+        return create_features_serial(seq)
+    return create_features(seq)
 
 
 def script_dist(s1: np.ndarray, s2: np.ndarray) -> np.ndarray:

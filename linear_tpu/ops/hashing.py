@@ -62,7 +62,10 @@ class HashStream:
 
     def init(self, seq: np.ndarray, it: int) -> int:
         """hashInit (src/shape_extend.cpp:86): find first span consecutive
-        non-N from `it`, pre-roll span-1 bases. Returns the skip k."""
+        non-N from `it`, pre-roll span-1 bases. Returns the skip k, or -1 if
+        no valid window exists to the end of the sequence (the C++ scans past
+        the buffer there — UB; observed behavior is no usable output, which
+        this deterministic sentinel reproduces)."""
         s = self.span
         self.left = 0
         self.h = 0
@@ -70,7 +73,10 @@ class HashStream:
         self.x = 0 - 3
         k = 0
         count = 0
+        n = len(seq)
         while count < s:
+            if it + k + count >= n:
+                return -1
             if seq[it + k + count] == 4:
                 k += count + 1
                 count = 0
@@ -244,6 +250,10 @@ def read_stream_hashes(
     if has_leading_n:
         st = HashStream(span)
         k0 = st.init(seq, 0)
+        if k0 < 0:  # no valid window anywhere: stream yields nothing
+            return StreamHashes(
+                np.zeros(0, np.int64), np.zeros(0, U64), np.zeros(0, U64), np.zeros(0, np.int64)
+            )
     bias = 2 * (
         int(seq[k0 : k0 + span - 1].astype(np.int64).sum())
         - int(seq[first : first + span - 1].astype(np.int64).sum())
@@ -268,7 +278,8 @@ def patch_n_neighborhoods(
     seq: np.ndarray, sh: StreamHashes, span: int, stream: str, read_str: int = 0
 ) -> None:
     """Replace closed-form states with exact oracle values for call positions
-    whose exactness could be affected by an N.
+    whose exactness could be affected by an N. Returns False when no valid
+    hash window exists from the init point (caller must drop the stream).
 
     The closed forms deviate from the C++ recurrences only while an N is
     inside (or recently left) the rolling window, and the recurrence state
@@ -278,7 +289,7 @@ def patch_n_neighborhoods(
     skip); in that case the whole stream is re-rolled (rare, bounded cost).
     """
     if not np.any(seq == 4) or len(sh.j) == 0:
-        return
+        return True
     first_j = int(sh.j[0])
     j0_off = first_j  # sh arrays are indexed by (j - first_j)
 
@@ -296,9 +307,10 @@ def patch_n_neighborhoods(
     last_j = int(sh.j[-1])
     if init_has_n:
         st = HashStream(span)
-        st.init(seq, init_at)
+        if st.init(seq, init_at) < 0:
+            return False  # no valid window from init point: drop stream
         run_exact(first_j, last_j + 1, st)
-        return
+        return True
     n_pos = np.flatnonzero(seq == 4)
     # merge N positions into segments affecting call range [p-span+1, p+span]
     segs: list[list[int]] = []
@@ -316,10 +328,12 @@ def patch_n_neighborhoods(
             continue
         st = HashStream(span)
         if j_from <= mixed_end and stream == "read":
-            st.init(seq, 0)
+            if st.init(seq, 0) < 0:
+                return False
             j_from = first_j
         elif j_from == first_j:
-            st.init(seq, init_at)
+            if st.init(seq, init_at) < 0:
+                return False
         else:
             # seed from the (exact) closed form one step before j_from
             jprev = j_from - 1
@@ -331,6 +345,7 @@ def patch_n_neighborhoods(
                 st.x += _read_x_bias(seq, first_j, span)
             st.left = int(seq[jprev])
         run_exact(j_from, j_to, st)
+    return True
 
 
 def _read_x_bias(seq: np.ndarray, first_call: int, span: int) -> int:
@@ -338,6 +353,8 @@ def _read_x_bias(seq: np.ndarray, first_call: int, span: int) -> int:
     first_call): 2*(sum of init window bases - sum of first removed bases)."""
     st = HashStream(span)
     k0 = st.init(seq, 0) if np.any(seq[:span] == 4) else 0
+    if k0 < 0:
+        return 0
     return 2 * (
         int(seq[k0 : k0 + span - 1].astype(np.int64).sum())
         - int(seq[first_call : first_call + span - 1].astype(np.int64).sum())
