@@ -601,9 +601,17 @@ def filter_blocks_cords(
     read_len: int,
     thd_major_limit: int,
     f_header: bool,
+    unset_end_func: Callable = None,
+    set_end_func: Callable = None,
 ) -> np.ndarray:
     """_filterBlocksCords (cluster_util.cpp:1056): keep the major chain plus
-    up to thd_major_limit-1 optional majors (len > 0.8 * major len)."""
+    up to thd_major_limit-1 optional majors (len > 0.8 * major len). End-flag
+    setters parameterized (cords: blockEnd bit 60; tiles: sgn end bit 63,
+    unset via remove_tile_sgn_end)."""
+    if unset_end_func is None:
+        unset_end_func = lambda c: int(C.unset_block_end(np.uint64(c)))
+    if set_end_func is None:
+        set_end_func = lambda c: int(C.set_block_end(np.uint64(c)))
     if not chains:
         return hits
     out: list = []
@@ -612,9 +620,9 @@ def filter_blocks_cords(
     len_current = 0
     for p in chains[0]:
         for j in range(p[0], p[1]):
-            out.append(int(C.unset_block_end(np.uint64(hits[j]))))
+            out.append(unset_end_func(int(hits[j])))
         len_current += p[1] - p[0]
-    out[-1] = int(C.set_block_end(np.uint64(out[-1])))
+    out[-1] = set_end_func(out[-1])
     thd_major_bound = 0.8 * len_current
     major_n = 1
     i = 1
@@ -625,8 +633,8 @@ def filter_blocks_cords(
             major_n += 1
             for p in ch:
                 for j in range(p[0], p[1]):
-                    out.append(int(C.unset_block_end(np.uint64(hits[j]))))
-            out[-1] = int(C.set_block_end(np.uint64(out[-1])))
+                    out.append(unset_end_func(int(hits[j])))
+            out[-1] = set_end_func(out[-1])
         i += 1
     return np.array(out, dtype=np.uint64)
 
@@ -642,6 +650,8 @@ def chain_blocks_cords(
     thd_init_cord_score: int,
     thd_major_limit: int,
     f_header: bool,
+    unset_end_func: Callable = None,
+    set_end_func: Callable = None,
 ) -> np.ndarray:
     """chainBlocksCords (cluster_util.cpp:1068): chain under both strand
     orders, pick the better, revert inversion runs, keep major chains."""
@@ -657,8 +667,11 @@ def chain_blocks_cords(
     )
     best = get_chain_blocks_best_strand(chains1, chains2)
     chains = chains1 if best == 0 else chains2
+    sp = sp1 if best == 0 else sp2
     revert_chain_block_strand(chains, cords, best, read_len)
-    return filter_blocks_cords(chains, cords, read_len, thd_major_limit, f_header)
+    return filter_blocks_cords(
+        chains, cords, read_len, thd_major_limit, f_header, unset_end_func, set_end_func
+    )
 
 
 # ------------------------------------------------------- hits-level filter

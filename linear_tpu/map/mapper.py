@@ -39,8 +39,8 @@ class MapperConfig:
     # src/base.cpp:43; no CLI default registered): thd_DI=80, thd_X=200 and
     # anchor-chain stop-ratio 0 (src/mapper.cpp:181-188)
     preset: int = 1
-    read_group: str = "default_rg"
-    sample_name: str = "default_sm"
+    read_group: str = ""       # -rg (Options ctor default "", src/base.cpp:47)
+    sample_name: str = ""      # -sn
     cmd_line: str = ""
     sequence_sam: int = 0
 
@@ -97,11 +97,22 @@ class Mapper:
         if self.cfg.gap_len:
             from . import gap as GAP
 
+            # gap_len -> thd_gap_len_min mapping (src/mapper.cpp:209-232):
+            # 1 -> 50 (default), 2..9 -> 10, >=10 -> gap_len
+            g = self.cfg.gap_len
+            thd = 50 if g == 1 else (10 if g < 10 else g)
             GAP.map_gaps(
                 self.genomes, read, rc, cords_str, cords_end, apx_gaps, f1, self.f2,
-                GAP.GapParms(thd_gap_len_min=self.cfg.gap_len),
+                GAP.GapParms(thd_gap_len_min=thd),
             )
+            import os
+            if os.environ.get("LINEAR_DBG"):
+                for i, (a, b) in enumerate(zip(cords_str, cords_end)):
+                    print(f"DBGGC {i} {a} {b}")
             GAP.reform_cords(cords_str, cords_end)
+            if os.environ.get("LINEAR_DBG"):
+                for i, (a, b) in enumerate(zip(cords_str, cords_end)):
+                    print(f"DBGRC {i} {a} {b}")
         return cords_str, cords_end, cords_info
 
     def map_block(self, reads: seqio.SeqSet):

@@ -554,9 +554,12 @@ def gather_blocks(
     thd_large_gap: int,
     thd_cord_size: int,
     f_set_end: bool,
+    is_end_func: Callable[[int], int] = is_end,
+    set_end_func: Callable[[int], int] = set_end,
 ) -> Tuple[List[Tuple[int, int]], List[Tuple[int, int]]]:
     """gather_blocks_ (src/pmpfinder.cpp:1484). Returns (str_ends,
-    str_ends_p); may set blockEnd flags in cords when f_set_end."""
+    str_ends_p); may set end flags in cords when f_set_end. The end-flag
+    accessors are parameterized (cords use bit 60, tiles bit 63)."""
     str_ends: List[Tuple[int, int]] = []
     str_ends_p: List[Tuple[int, int]] = []
     if len(cords) < 2:
@@ -564,7 +567,7 @@ def gather_blocks(
     d_shift_max = thd_cord_size // 2
     p_str = str_
     for i in range(str_ + 1, end_):
-        if is_end(cords[i - 1]) or not is_consecutive(cords[i - 1], cords[i], thd_large_gap):
+        if is_end_func(cords[i - 1]) or not is_consecutive(cords[i - 1], cords[i], thd_large_gap):
             d_shift = min(read_len - cy(cords[p_str]) - 1, d_shift_max)
             b_str = shift(cords[p_str], d_shift, d_shift)
             d_shift = min(read_len - cy(cords[i - 1]) - 1, d_shift_max)
@@ -572,7 +575,7 @@ def gather_blocks(
             str_ends.append((b_str, b_end))
             str_ends_p.append((p_str, i))
             if f_set_end:
-                cords[i - 1] = set_end(cords[i - 1])
+                cords[i - 1] = set_end_func(cords[i - 1])
             p_str = i
     d_shift = min(read_len - cy(cords[-1]) - 1, d_shift_max)
     b_str = shift(cords[p_str], d_shift, d_shift)

@@ -21,8 +21,8 @@ needs_ref = pytest.mark.skipif(
 
 
 @needs_ref
-@pytest.mark.parametrize("seed,n_reads", [(11, 32), (123, 32)])
-def test_sam_apf_bit_identical_g0(tmp_path, seed, n_reads):
+@pytest.mark.parametrize("seed,n_reads,gap_len", [(11, 32, 0), (123, 32, 0), (11, 24, 50), (777, 24, 50)])
+def test_sam_apf_bit_identical(tmp_path, seed, n_reads, gap_len):
     rng = np.random.default_rng(seed)
     genomes = [rng.integers(0, 4, 120000).astype(np.uint8) for _ in range(2)]
     genome_fa = str(tmp_path / "g.fa")
@@ -30,8 +30,8 @@ def test_sam_apf_bit_identical_g0(tmp_path, seed, n_reads):
     seqio.write_fasta(genome_fa, ["chrA x", "chrB y"], genomes)
     reads = DT.simulate(rng, genomes, n_reads)
     seqio.write_fasta(reads_fa, [f"read{i} sim" for i in range(len(reads))], reads)
-    ref_sam, ref_apf = DT.run_reference(reads_fa, genome_fa, str(tmp_path / "ref"), 4, 0)
-    my_sam, my_apf = DT.run_ours(reads_fa, genome_fa, str(tmp_path / "mine"), 4, 0)
+    ref_sam, ref_apf = DT.run_reference(reads_fa, genome_fa, str(tmp_path / "ref"), 4, gap_len)
+    my_sam, my_apf = DT.run_ours(reads_fa, genome_fa, str(tmp_path / "mine"), 4, gap_len)
     assert open(ref_sam).read() == open(my_sam).read()
     # APF blank-line grouping depends on the reference's adaptive pipeline
     # fetch blocking (scheduling-dependent); compare content lines.
