@@ -1,0 +1,118 @@
+"""Command-line interface mirroring the reference's `linear filter`
+(src/args_parser.cpp, src/linear.cpp).
+
+Usage: python -m linear_tpu filter [OPTIONS] read.fa/fastq(.gz) genome.fa
+Multi-file: python -m linear_tpu filter r1.fa r2.fa x g1.fa g2.fa
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="linear_tpu",
+        description="linear_tpu - TPU-native alignment-free long-read mapper / SV filter",
+    )
+    sub = p.add_subparsers(dest="submodule")
+    f = sub.add_parser("filter", help="detect SV signals in long reads; outputs SAM/APF")
+    f.add_argument("files", nargs="+", help="read files [x] genome files")
+    f.add_argument("-o", "--output", default="", help="output prefix")
+    f.add_argument("-ot", "--output_type", type=int, default=2,
+                   help="1 apf, 2 sam (default), 4 bam; sum to combine")
+    f.add_argument("-t", "--thread", type=int, default=16)
+    f.add_argument("-g", "--gap_len", type=int, default=1,
+                   help="min gap len; 0 disables gap mapping; 1 -> default 50")
+    f.add_argument("-rg", "--read_group", default="")
+    f.add_argument("-sn", "--sample_name", default="")
+    f.add_argument("-ss", "--sequence_sam", type=int, default=0)
+    f.add_argument("-dup", "--duplication", type=int, default=0)
+    f.add_argument("-b", "--bal_flag", type=int, default=1)
+    f.add_argument("-p", "--preset", type=int, default=1,
+                   help="effective reference default is 1")
+    f.add_argument("-i", "--index_type", type=int, default=1)
+    f.add_argument("-c", "--apx_c_flag", type=int, default=1)
+    f.add_argument("-f", "--feature_type", type=int, default=2)
+    f.add_argument("-r", "--reform_ccs_cigar_flag", type=int, default=0)
+    f.add_argument("--device", choices=["host", "tpu"], default="host",
+                   help="host oracle or TPU device pipeline")
+    return p
+
+
+def split_files(files: List[str]) -> tuple:
+    """reads... x genomes... Cartesian syntax (src/args_parser.cpp:297)."""
+    if "x" in files:
+        i = files.index("x")
+        return files[:i], files[i + 1:]
+    return files[:-1], files[-1:]
+
+
+def run_filter(args) -> int:
+    from .map.mapper import Mapper, MapperConfig
+    from .utils import seqio
+
+    read_paths, genome_paths = split_files(args.files)
+    if not read_paths or not genome_paths:
+        print("E[01]: provide reads and genome files", file=sys.stderr)
+        return 1
+    cfg = MapperConfig(
+        gap_len=args.gap_len,
+        apx_chain_flag=args.apx_c_flag,
+        output_type=args.output_type,
+        threads=args.thread,
+        preset=args.preset,
+        read_group=args.read_group,
+        sample_name=args.sample_name,
+        cmd_line=" ".join(sys.argv[1:]),
+        sequence_sam=args.sequence_sam,
+    )
+    t0 = time.time()
+    mapper = Mapper(genome_paths, cfg)
+    print(f"--Read genomes  {len(mapper.genomes)} sequences "
+          f"{sum(mapper.genome_lens) >> 20} mbases", file=sys.stderr)
+    mapper.prepare()
+    print(f"--Index created Elapsed time[s] {time.time() - t0:.2f}", file=sys.stderr)
+
+    f_apf = args.output_type & 1
+    f_sam = args.output_type & 2
+    n_done = 0
+    for rpath in read_paths:
+        prefix = args.output or rpath.split("/")[-1].split(".")[0]
+        of_sam = open(prefix + ".sam", "w") if f_sam else None
+        of_apf = open(prefix + ".apf", "w") if f_apf else None
+        if of_sam:
+            of_sam.write(mapper.sam_header())
+        t1 = time.time()
+        for block in seqio.read_blocks(rpath):
+            cs, ce, sam = mapper.map_block(block)
+            if of_sam:
+                of_sam.write(sam)
+            if of_apf:
+                of_apf.write(mapper.apf_block(cs, block))
+            n_done += len(block)
+            el = time.time() - t1
+            print(f"  Processed:{n_done}  time:{el:.2f}[s]  "
+                  f"speed:{n_done / max(el, 1e-9):.2f}[reads/s]", file=sys.stderr)
+        for of in (of_sam, of_apf):
+            if of:
+                of.close()
+        outs = [prefix + ext for ext, fl in ((".apf", f_apf), (".sam", f_sam)) if fl]
+        print("Result files: " + " ".join(outs), file=sys.stderr)
+    print(f"Time in sum[s] {time.time() - t0:.2f}", file=sys.stderr)
+    return 0
+
+
+def main(argv: List[str] | None = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.submodule == "filter":
+        return run_filter(args)
+    parser.print_help()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -123,15 +123,20 @@ def build_dindex(
         all_cords.append(cords)
     xv = np.concatenate(all_x) if all_x else np.zeros(0, np.int64)
     cords = np.concatenate(all_cords) if all_cords else np.zeros(0, U64)
-    counts = np.bincount(xv, minlength=full - 1).astype(np.int64)
+    # counts over the full 4^weight table in int32 (bucket sizes < 2^31);
+    # avoid any 67M-entry int64 temporaries — they dominate build time.
+    counts = np.zeros(full - 1, dtype=np.int32)
+    np.add.at(counts, xv, 1)
     # pass-2 fills only buckets kept after the omit filter; emission state
     # updates only on kept buckets, but with stride<=max_step<2*stride the
     # fill sets coincide with pass-1 counts (see analysis in ops/hashing.py).
-    keep = counts <= omit_block
-    counts = np.where(keep, counts, 0)
-    dirp = np.zeros(full, dtype=np.int64)
-    np.cumsum(counts, out=dirp[1:])
-    kept_mask = keep[xv]
+    omitted = counts > omit_block
+    counts[omitted] = 0
+    # int32 same-dtype cumsum: this host's int64 cumsum over the 4^13 table
+    # is pathologically slow; bucket offsets fit int32 (n_entries < 2^31)
+    dirp = np.zeros(full, dtype=np.int32)
+    np.cumsum(counts, out=dirp[1:], dtype=np.int32)
+    kept_mask = ~omitted[xv]
     xv_k = xv[kept_mask]
     cords_k = cords[kept_mask]
     order = np.lexsort((cords_k, xv_k))  # bucket-major, value-ascending

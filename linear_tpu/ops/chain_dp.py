@@ -1,0 +1,157 @@
+"""Device (TPU) sparse chaining DP — batched getBestChains.
+
+TPU-first design:
+  - The pairwise score function (getApxChainScore, cluster_util.cpp:387) has
+    no DP dependence, so the full (N, N) score matrix is computed in parallel
+    on the VPU first.
+  - The DP recurrence (getBestChains, cluster_util.cpp:53) is a fori_loop
+    over anchor index; each step is one masked max over a row — vmapped over
+    the read batch, so every step advances B reads at once.
+  - The C++ inner loop breaks at the first j (descending) failing both the
+    depth and dx-depth conditions; because anchors are sorted descending by
+    x, dx is monotone in j and the break is exactly equivalent to a mask.
+  - Tie-breaking: the C++ takes `>=` while j decreases, so the smallest j
+    among maxima wins; jnp.argmax picks the first (smallest) index — same.
+
+Traceback (traceBackChains0/1) is greedy-sequential and tiny (<= N steps);
+it runs on the host from the downloaded DP table, bit-exact.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.int32(-(2 ** 31) + 1)
+
+MASK_Y = (1 << 20) - 1
+MASK_X30 = (1 << 30) - 1
+VALUE_MASK_DSTR = ((1 << 60) - 1) | (1 << 61)
+
+
+def _anchor_x(a):
+    """getAnchorX (src/cords.cpp:463) on int64 anchors."""
+    new = (a + ((a & MASK_Y) << 20) - (1 << 40)) & VALUE_MASK_DSTR
+    return (new >> 20) & MASK_X30
+
+
+def _anchor_y(a):
+    return a & MASK_Y
+
+
+def _tdiv(a, b):
+    """C truncating division on int arrays."""
+    q = jnp.abs(a) // jnp.abs(b)
+    return jnp.where((a < 0) ^ (b < 0), -q, q)
+
+
+def _apx_chain_score(a1, a2):
+    """getApxChainScore (cluster_util.cpp:387), vectorized; a1/a2 int64."""
+    dy = _anchor_y(a1) - _anchor_y(a2)
+    dx = _anchor_x(a1) - _anchor_x(a2)
+    da = jnp.abs(dx - dy)
+    denom = jnp.maximum(jnp.maximum(jnp.abs(dy), jnp.abs(dx)), 50)
+    derr = _tdiv(100 * da, denom)
+    score_derr = jnp.where(
+        derr < 5, 4 * derr,
+        jnp.where(derr < 10, 6 * derr - 10, derr * derr - 5 * derr))
+    dy15 = _tdiv(dy, 15)
+    score_dy = jnp.where(
+        dy15 < 150, _tdiv(dy15, 5),
+        jnp.where(dy15 < 10000, _tdiv(dy15 * dy15, 200) + 20, 10000))
+    score = jnp.where(da < 10, 100 - score_dy, 100 - score_dy - score_derr)
+    score = jnp.where(derr >= 100, -1000, score)
+    score = jnp.where(dy < 10, -10000, score)
+    return score.astype(jnp.int32)
+
+
+def _apx_chain_score0(a1, a2):
+    """getApxChainScore0 (cluster_util.cpp:337), toggle(1) variant."""
+    dy = _anchor_y(a1) - _anchor_y(a2)
+    dx = _anchor_x(a1) - _anchor_x(a2)
+    da = jnp.abs(dx - dy)
+    denom = jnp.maximum(jnp.maximum(jnp.abs(dy), jnp.abs(dx)), 50)
+    derr = _tdiv(100 * da, denom)
+    score = jnp.where(da < 30, 100 - dy, 100 - dy - da)
+    score = jnp.where(derr >= 100, -1000, score)
+    score = jnp.where(dy < 5, -10000, score)
+    return score.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("thd_chain_depth", "thd_chain_dx_depth", "score_type"))
+def batch_chain_dp(anchors: jnp.ndarray, n_anchors: jnp.ndarray,
+                   thd_chain_depth: int = 20, thd_chain_dx_depth: int = 300,
+                   score_type: int = 0):
+    """Batched getBestChains over (B, N) int64 anchors sorted descending by
+    anchor-x, padded; n_anchors: (B,) true counts.
+
+    Returns (p2anchor, score, length): each (B, N) int32, identical to the
+    C++ ChainsRecord fields (root_ptr/f_leaf are host-derivable from p2anchor).
+    """
+    B, N = anchors.shape
+    score_fn = _apx_chain_score if score_type == 0 else _apx_chain_score0
+    ax = _anchor_x(anchors)
+    # (B, N, N) score matrix: s[b, j, i] = score(anchors[j], anchors[i])
+    s = score_fn(anchors[:, :, None], anchors[:, None, :])  # j rows, i cols
+    jj = jnp.arange(N)
+    # eligibility of j for i: j < i and (j >= i-depth or ax[j]-ax[i] < dx_depth)
+    elig = (jj[:, None] < jj[None, :]) & (
+        (jj[:, None] >= jj[None, :] - thd_chain_depth)
+        | ((ax[:, :, None] - ax[:, None, :]) < thd_chain_dx_depth)
+    )
+    cand = s.astype(jnp.int64)
+
+    def body(i, carry):
+        score, p2, length = carry
+        row = cand[:, :, i]                       # (B, N): s(j, i)
+        ok = elig[:, :, i] & (jj[None, :] < n_anchors[:, None])
+        tot = jnp.where(ok & (row > 0), row + score.astype(jnp.int64), NEG.astype(jnp.int64))
+        new_max = jnp.max(tot, axis=1)
+        max_j = jnp.argmax(tot, axis=1).astype(jnp.int32)
+        found = new_max > 0
+        si = jnp.where(found, new_max.astype(jnp.int32), 0)
+        p2i = jnp.where(found, max_j, -1)
+        li = jnp.where(found, jnp.take_along_axis(length, max_j[:, None], axis=1)[:, 0] + 1, 1)
+        score = score.at[:, i].set(si)
+        p2 = p2.at[:, i].set(p2i)
+        length = length.at[:, i].set(li)
+        return (score, p2, length)
+
+    score0 = jnp.zeros((B, N), dtype=jnp.int32)
+    p20 = jnp.full((B, N), -1, dtype=jnp.int32)
+    len0 = jnp.ones((B, N), dtype=jnp.int32)
+    score, p2, length = jax.lax.fori_loop(0, N, body, (score0, p20, len0))
+    return p2, score, length
+
+
+def chain_records_from_dp(p2: np.ndarray, score: np.ndarray, length: np.ndarray, n: int):
+    """Host: rebuild ChainsRecord list (incl. root_ptr / f_leaf) for one read
+    from the device DP table — same as the C++ sequential bookkeeping."""
+    from ..map.chaining import ChainsRecord
+
+    recs = [ChainsRecord() for _ in range(n)]
+    if n == 0:
+        return recs
+    recs[0].score = 0
+    recs[0].length = 1
+    recs[0].p2anchor = -1
+    for i in range(n):
+        max_j = int(p2[i])
+        if max_j >= 0:
+            recs[i].p2anchor = max_j
+            recs[i].score = int(score[i])
+            recs[i].length = int(length[i])
+            recs[i].score2 = recs[i].score
+            recs[i].root_ptr = recs[max_j].root_ptr
+            recs[i].f_leaf = 1
+            recs[max_j].f_leaf = 0
+        else:
+            recs[i].p2anchor = -1
+            recs[i].score = 0
+            recs[i].length = 1
+            recs[i].score2 = 0
+            recs[i].root_ptr = i
+            recs[i].f_leaf = 1
+    return recs

@@ -1,0 +1,229 @@
+"""Device (TPU) seeding: batched rolling hash + index probe + anchor emission.
+
+TPU-first design notes:
+  - The reference computes per-base rolling hashes sequentially
+    (hashInit/hashNexth, src/shape_extend.cpp). Here the recurrence runs as a
+    `lax.scan` over positions with the batch dimension vectorized — each scan
+    step is a (B,)-wide VPU op, so a whole read batch advances per step. This
+    reproduces the C++ statement-for-statement (including N-base carries and
+    the read-stream init bias quirks), so device anchors match the host
+    oracle bit-for-bit.
+  - XValue/YValue minimizer extraction (hashNextX, src/shape_extend.cpp:341)
+    is pure elementwise/reduce over the (B, P) sampled positions.
+  - The index probe gathers dir[] offsets and up to CAP hs entries per
+    sampled position; the y-consistency check ((y1^y2)>>ctz < 4,
+    src/pmpfinder.cpp:1893) is computed branchlessly as val < 4*(val&-val).
+  - Anchors are emitted in the C++ scan order (position-major, bucket-entry
+    order) as int64 packed values identical to the host cord format.
+
+Everything here is jittable with static shapes; reads are padded to the
+batch length and masked by their true lengths.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SPAN = 21
+WEIGHT = 13
+THD_ALPHA = 15
+
+M64 = jnp.uint64((1 << 64) - 1)
+
+
+class DeviceIndex(NamedTuple):
+    """DIndex uploaded to HBM: exclusive-prefix dir and packed-u64 hs split
+    into (lo, hi) uint32 pairs."""
+
+    dir_start: jnp.ndarray  # int32[4^weight + 1]
+    hs_lo: jnp.ndarray      # uint32[n]
+    hs_hi: jnp.ndarray      # uint32[n]
+    cap: int                # max entries per bucket (<= thd_omit_block)
+
+
+def upload_index(index) -> DeviceIndex:
+    """Host DIndex -> device arrays. cap = max bucket size (buckets larger
+    than thd_omit_block were already dropped at build)."""
+    counts = np.diff(index.dir)
+    cap = int(counts.max()) if len(index.hs) else 1
+    return DeviceIndex(
+        dir_start=jnp.asarray(index.dir, dtype=jnp.int64),
+        hs_lo=jnp.asarray((index.hs & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        hs_hi=jnp.asarray((index.hs >> np.uint64(32)).astype(np.uint32)),
+        cap=cap,
+    )
+
+
+def _hash_scan_batch(seqs: jnp.ndarray, span: int):
+    """Exact LShape state streams for a (B, L) int32 batch.
+
+    Returns (h, crh, x) of shape (B, L): the state AFTER the hashNexth call
+    at each position k (valid for k in [span, L - span) as in
+    getDIndexMatchAll); earlier entries hold prefix states.
+    """
+    B, L = seqs.shape
+    # hashInit at 0 with N-skip: k0 = first j such that seqs[j:j+span] is N-free
+    is_n = (seqs == 4).astype(jnp.int32)
+    csum = jnp.cumsum(is_n, axis=1)
+    pad = jnp.zeros((B, 1), dtype=jnp.int32)
+    csum0 = jnp.concatenate([pad, csum], axis=1)  # (B, L+1)
+    n_win = min(span, L)
+    win_n = csum0[:, n_win:] - csum0[:, :-n_win] if L >= n_win else jnp.ones((B, 1), jnp.int32)
+    ok = win_n == 0  # (B, L - span + 1)
+    any_ok = jnp.any(ok, axis=1)
+    k0 = jnp.where(any_ok, jnp.argmax(ok, axis=1), 0).astype(jnp.int32)
+
+    # init: pre-roll span-1 bases from k0  (hashInit src/shape_extend.cpp:86)
+    idx = k0[:, None] + jnp.arange(span - 1)[None, :]
+    init_bases = jnp.take_along_axis(seqs, jnp.minimum(idx, L - 1), axis=1).astype(jnp.uint64)
+    coef_f = (jnp.uint64(1) << (jnp.uint64(2) * jnp.arange(span - 2, -1, -1, dtype=jnp.uint64)))
+    coef_r = (jnp.uint64(1) << (jnp.uint64(2) * jnp.arange(1, span, dtype=jnp.uint64)))
+    h0 = jnp.sum(init_bases * coef_f[None, :], axis=1)
+    crh0 = jnp.sum((jnp.uint64(3) - init_bases) * coef_r[None, :], axis=1)
+    x0 = (jnp.sum(2 * init_bases.astype(jnp.int64), axis=1)
+          - jnp.int64(3) * (span - 1) - jnp.int64(3))
+    left0 = jnp.zeros((B,), dtype=jnp.uint64)
+
+    mask = jnp.uint64((1 << (2 * span - 2)) - 1)
+    span_m1 = span - 1
+
+    def step(state, k):
+        h, crh, x, left = state
+        v2 = jax.lax.dynamic_index_in_dim(
+            seqs, jnp.minimum(k + span_m1, L - 1), axis=1, keepdims=False
+        ).astype(jnp.uint64)
+        h = ((h & mask) << jnp.uint64(2)) + v2
+        crh = ((crh >> jnp.uint64(2)) & mask) + ((jnp.uint64(3) - v2) << jnp.uint64(2 * span - 2))
+        x = x + ((v2.astype(jnp.int64) - left.astype(jnp.int64)) << 1)
+        left = jax.lax.dynamic_index_in_dim(
+            seqs, jnp.minimum(k, L - 1), axis=1, keepdims=False
+        ).astype(jnp.uint64)
+        return (h, crh, x, left), (h, crh, x)
+
+    # The C++ rolls from k = read_str + span (getDIndexMatchAll
+    # src/pmpfinder.cpp:1874); earlier positions are never visited, so the
+    # scan starts there and outputs are indexed by (k - span).
+    ks = jnp.arange(span, L, dtype=jnp.int32)
+    (_, _, _, _), (hs, crhs, xs) = jax.lax.scan(step, (h0, crh0, x0, left0), ks)
+    # scan outputs are (L - span, B); transpose to (B, L - span)
+    return hs.T, crhs.T, xs.T
+
+
+def _minimizer_xy_batch(seqs: jnp.ndarray, j: jnp.ndarray, h: jnp.ndarray,
+                        crh: jnp.ndarray, x: jnp.ndarray, span: int, weight: int):
+    """Vectorized hashNextX (src/shape_extend.cpp:341) at sampled positions.
+
+    seqs: (B, L); j/h/crh/x: (B, P). Returns (xval, yval, strand): (B, P).
+    Out-of-range YValue bases read as 0 ('A'), matching the host oracle.
+    """
+    B, L = seqs.shape
+    span2, weight2 = 2 * span, 2 * weight
+    v2 = jnp.where(x > 0, h, crh)
+    n_off = span - weight + 1
+    mask_w = jnp.uint64((1 << weight2) - 1)
+    xval = jnp.full(v2.shape, (1 << span2) - 1, dtype=jnp.uint64)
+    t = jnp.zeros(v2.shape, dtype=jnp.int64)
+    for idx in range(n_off):
+        k = 64 - span2 + 2 * idx
+        v1 = (v2 << jnp.uint64(k)) >> jnp.uint64(64 - weight2)
+        better = v1 < xval
+        xval = jnp.where(better, v1, xval)
+        t = jnp.where(better, k, t)
+    strand = (x <= 0).astype(jnp.int64)
+    joff = (t >> 1) - 32 + span
+    fwd_base = j + joff + weight
+    rev_base = j + span - joff - weight - 1
+    yval = jnp.zeros(v2.shape, dtype=jnp.int64)
+    for i in range(4):
+        fi = jnp.clip(fwd_base + i, 0, L - 1)
+        ri = jnp.clip(rev_base - i, 0, L - 1)
+        vf = jnp.where(fwd_base + i < L, jnp.take_along_axis(seqs, fi, axis=1), 0).astype(jnp.int64)
+        vr = 3 - jnp.where(rev_base - i >= 0, jnp.take_along_axis(seqs, ri, axis=1), 0).astype(jnp.int64)
+        val = jnp.where(strand == 0, vf, vr)
+        add = jnp.where((val >= 0) & (val <= 3), val, 0)
+        yval = (yval << 2) + add
+    return xval.astype(jnp.int64), yval, strand
+
+
+@partial(jax.jit, static_argnames=("span", "weight", "thd_alpha", "cap"))
+def batch_seed_anchors(seqs: jnp.ndarray, lens: jnp.ndarray,
+                       dir_start: jnp.ndarray, hs_lo: jnp.ndarray, hs_hi: jnp.ndarray,
+                       span: int = SPAN, weight: int = WEIGHT,
+                       thd_alpha: int = THD_ALPHA, cap: int = 32):
+    """Batched getDIndexMatchAll (src/pmpfinder.cpp:1856).
+
+    seqs: (B, L) int32 padded read codes; lens: (B,) true lengths.
+    Returns (anchors, valid): (B, P, cap) int64 anchors (host cord format)
+    and bool mask, in the C++ emission order.
+    """
+    B, L = seqs.shape
+    h, crh, x = _hash_scan_batch(seqs, span)  # (B, L - span), indexed by k - span
+    # call positions: k in [span, read_end - span), sampled at dt == thd_alpha
+    first = span + thd_alpha - 1
+    ks = jnp.arange(first, L, thd_alpha, dtype=jnp.int32)  # (P,)
+    P = ks.shape[0]
+    kmat = jnp.broadcast_to(ks[None, :], (B, P))
+    in_range = kmat < (lens[:, None] - span)
+    koff = jnp.clip(kmat.astype(jnp.int64) - span, 0, h.shape[1] - 1)
+    hj = jnp.take_along_axis(h, koff, axis=1)
+    crhj = jnp.take_along_axis(crh, koff, axis=1)
+    xj = jnp.take_along_axis(x, koff, axis=1)
+    xval, yval, strand = _minimizer_xy_batch(seqs, kmat.astype(jnp.int64), hj, crhj, xj, span, weight)
+    # dedup: process iff xval != previous sampled xval (xpre init 0)
+    prev = jnp.concatenate([jnp.zeros((B, 1), dtype=xval.dtype), xval[:, :-1]], axis=1)
+    process = (xval != prev) & in_range
+    # probe: bucket [dir[x], dir[x+1])
+    xc = jnp.clip(xval, 0, dir_start.shape[0] - 2)
+    lo = dir_start[xc]
+    hi = dir_start[xc + 1]
+    cnt = jnp.minimum(hi - lo, cap)
+    ent_idx = lo[:, :, None] + jnp.arange(cap)[None, None, :]          # (B, P, cap)
+    ent_valid = (jnp.arange(cap)[None, None, :] < cnt[:, :, None]) & process[:, :, None]
+    ent_idx = jnp.clip(ent_idx, 0, hs_lo.shape[0] - 1)
+    e_lo = hs_lo[ent_idx].astype(jnp.uint64)
+    e_hi = hs_hi[ent_idx].astype(jnp.uint64)
+    ent = (e_hi << jnp.uint64(32)) | e_lo                              # (B, P, cap) u64 cords
+    hs_y = (ent & jnp.uint64((1 << 20) - 1)).astype(jnp.int64)
+    val = hs_y ^ yval[:, :, None]
+    # (val >> ctz(val)) < 4  <=>  val < 4 * (val & -val); val==0 accepted
+    low = val & (-val)
+    y_ok = (val == 0) | (val < (low << 2))
+    keep = ent_valid & y_ok
+    # val2Anchor (src/index_util.cpp:1509)
+    ent_strand = ((ent >> jnp.uint64(61)) & jnp.uint64(1)).astype(jnp.int64)
+    same = ent_strand == strand[:, :, None]
+    cordy = jnp.where(same, kmat[:, :, None], lens[:, None, None] - 1 - kmat[:, :, None]).astype(jnp.uint64)
+    ent_y = ent & jnp.uint64((1 << 20) - 1)
+    anc = ent - (cordy << jnp.uint64(20)) + cordy - ent_y
+    flag_strand = jnp.uint64(1) << jnp.uint64(61)
+    anc = jnp.where(same, anc & ~flag_strand, anc | flag_strand)
+    return anc.astype(jnp.int64), keep
+
+
+def seed_anchors_batch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
+                       thd_alpha: int = THD_ALPHA) -> list:
+    """Host wrapper: pad a list of reads, run the device kernel, and return
+    per-read anchor lists (ints) in the C++ emission order."""
+    B = len(reads)
+    seqs = np.zeros((B, pad_len), dtype=np.int32)
+    lens = np.zeros((B,), dtype=np.int64)
+    for i, r in enumerate(reads):
+        n = min(len(r), pad_len)
+        seqs[i, :n] = r[:n]
+        lens[i] = n
+    anc, keep = batch_seed_anchors(
+        jnp.asarray(seqs), jnp.asarray(lens),
+        dindex_dev.dir_start, dindex_dev.hs_lo, dindex_dev.hs_hi,
+        thd_alpha=thd_alpha, cap=dindex_dev.cap,
+    )
+    anc = np.asarray(anc)
+    keep = np.asarray(keep)
+    out = []
+    for i in range(B):
+        a = anc[i][keep[i]]
+        out.append([int(v) & ((1 << 64) - 1) for v in a])
+    return out

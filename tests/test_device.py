@@ -1,0 +1,85 @@
+"""Device kernel tests (virtual CPU devices): bit-exactness vs host oracle."""
+import numpy as np
+import pytest
+
+from linear_tpu.index import dindex as DI
+from linear_tpu.map import chaining as CH
+from linear_tpu.ops import chain_dp as CD
+from linear_tpu.ops import seeding as SD
+from linear_tpu.utils import seqio
+from linear_tpu.utils.cordscalar import anchor_x
+
+
+@pytest.fixture(scope="module")
+def small_world():
+    rng = np.random.default_rng(21)
+    genome = rng.integers(0, 4, 30000).astype(np.uint8)
+    idx = DI.build_dindex([genome], threads_emul=4)
+    dev = SD.upload_index(idx)
+    return rng, genome, idx, dev
+
+
+def _mutate(seq, rng):
+    out = []
+    i = 0
+    while i < len(seq):
+        r = rng.random()
+        if r < 0.04:
+            out.append((int(seq[i]) + 1) % 4); i += 1
+        elif r < 0.06:
+            out.append(int(rng.integers(0, 4)))
+        elif r < 0.08:
+            i += 1
+        else:
+            out.append(int(seq[i])); i += 1
+    return np.array(out, dtype=np.uint8)
+
+
+def test_device_seeding_matches_host(small_world):
+    rng, genome, idx, dev = small_world
+    reads = []
+    for i in range(4):
+        pos = int(rng.integers(0, 25000))
+        r = _mutate(genome[pos:pos + 2500], rng)
+        if i % 2:
+            r = seqio.revcomp(r)
+        if i == 3:  # N bases flow through the scan exactly
+            r = r.copy()
+            r[100:103] = 4
+        reads.append(r)
+    got = SD.seed_anchors_batch(reads, dev, pad_len=4096)
+    for i, r in enumerate(reads):
+        host = [int(v) for v in DI.query_anchors(idx, r, 0, len(r), thd_alpha=15)]
+        assert got[i] == host, f"read {i}"
+
+
+def test_device_chain_dp_matches_host():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    B, N = 4, 64
+    pad = np.zeros((B, N), dtype=np.int64)
+    counts = []
+    per_read = []
+    for b in range(B):
+        n = int(rng.integers(8, N))
+        ys = np.sort(rng.integers(0, 4000, n))
+        anc = [(((123000 + int(rng.integers(-150, 150)) + (1 << 20)) << 20) + int(y)
+                + (int(rng.integers(0, 2)) << 61)) for y in ys]
+        anc.sort(key=anchor_x, reverse=True)
+        pad[b, :n] = anc
+        counts.append(n)
+        per_read.append(anc)
+    p2, sc, ln = CD.batch_chain_dp(jnp.asarray(pad), jnp.asarray(np.array(counts)))
+    p2, sc, ln = np.asarray(p2), np.asarray(sc), np.asarray(ln)
+    for b in range(B):
+        n = counts[b]
+        recs = CH.get_best_chains(
+            np.array(per_read[b], dtype=np.uint64), 0, n, 20, 300,
+            CH.get_apx_chain_score, CH.ChainScoreParms(), anchor_x)
+        dev = CD.chain_records_from_dp(p2[b], sc[b], ln[b], n)
+        for i in range(n):
+            assert (recs[i].p2anchor, recs[i].score, recs[i].length,
+                    recs[i].root_ptr, recs[i].f_leaf) == (
+                dev[i].p2anchor, dev[i].score, dev[i].length,
+                dev[i].root_ptr, dev[i].f_leaf), (b, i)
