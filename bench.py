@@ -123,11 +123,13 @@ def main():
         seqs[i, :n] = r[:n]
         lens[i] = n
 
+    has_n = bool((seqs == 4).any())
+
     def run_batch(b0):
         s = jnp.asarray(seqs[b0: b0 + B])
         l = jnp.asarray(lens[b0: b0 + B])
         out = mapping_step(s, l, dev.dir_start, dev.hs_lo, dev.hs_hi,
-                           cap=dev.cap, n_max=n_max)
+                           cap=dev.cap, n_max=n_max, fast=not has_n)
         jax.block_until_ready(out)
         return out
 

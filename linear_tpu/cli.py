@@ -68,6 +68,8 @@ def run_filter(args) -> int:
         sample_name=args.sample_name,
         cmd_line=" ".join(sys.argv[1:]),
         sequence_sam=args.sequence_sam,
+        reform_ccs=args.reform_ccs_cigar_flag,
+        f_dup=args.duplication,
     )
     t0 = time.time()
     mapper = Mapper(genome_paths, cfg)
@@ -76,18 +78,28 @@ def run_filter(args) -> int:
     mapper.prepare()
     print(f"--Index created Elapsed time[s] {time.time() - t0:.2f}", file=sys.stderr)
 
+    from .out import bam as BAM
+    from .out import bamlink as BL
+
     f_apf = args.output_type & 1
     f_sam = args.output_type & 2
+    f_bam = args.output_type & 4
+    f_pbsv = args.output_type & 8
     n_done = 0
     for rpath in read_paths:
         prefix = args.output or rpath.split("/")[-1].split(".")[0]
         of_sam = open(prefix + ".sam", "w") if f_sam else None
         of_apf = open(prefix + ".apf", "w") if f_apf else None
+        bam_lines: list = []
         if of_sam:
             of_sam.write(mapper.sam_header())
         t1 = time.time()
         for block in seqio.read_blocks(rpath):
-            cs, ce, sam = mapper.map_block(block)
+            if f_bam or f_pbsv:
+                cs, ce, sam, bl = mapper.map_block(block, collect_bam=True)
+                bam_lines.extend(bl)
+            else:
+                cs, ce, sam = mapper.map_block(block)
             if of_sam:
                 of_sam.write(sam)
             if of_apf:
@@ -99,7 +111,16 @@ def run_filter(args) -> int:
         for of in (of_sam, of_apf):
             if of:
                 of.close()
-        outs = [prefix + ext for ext, fl in ((".apf", f_apf), (".sam", f_sam)) if fl]
+        if f_bam:
+            BAM.write_bam(prefix + ".bam", mapper.sam_header(),
+                          mapper.genome_ids, mapper.genome_lens, bam_lines)
+        if f_pbsv:
+            hdr = BL.sam_header_pbsv(mapper.genome_ids, mapper.genome_lens,
+                                     cfg.read_group, cfg.sample_name, cfg.cmd_line)
+            BAM.write_bam(prefix + "_pbsv.bam", hdr,
+                          mapper.genome_ids, mapper.genome_lens, bam_lines)
+        outs = [prefix + ext for ext, fl in
+                ((".apf", f_apf), (".sam", f_sam), (".bam", f_bam), ("_pbsv.bam", f_pbsv)) if fl]
         print("Result files: " + " ".join(outs), file=sys.stderr)
     print(f"Time in sum[s] {time.time() - t0:.2f}", file=sys.stderr)
     return 0

@@ -24,6 +24,7 @@ from typing import Callable, List, Tuple
 import numpy as np
 
 from ..utils import cordlib as C
+from ..utils import cordscalar as CS
 
 INT_MIN = -(2**31)
 CHAIN_END = -1
@@ -75,8 +76,8 @@ def get_best_chains(
     recs[0].score = 0
     recs[0].length = 1
     recs[0].p2anchor = CHAIN_END
-    ax = [get_anchor_x(int(a)) for a in anchors.tolist()]
-    al = anchors.tolist()
+    al = [int(a) for a in (anchors.tolist() if hasattr(anchors, 'tolist') else anchors)]
+    ax = [get_anchor_x(a) for a in al]
     for i in range(it_str, it_end):
         j_str = max(0, i - thd_chain_depth)
         max_j = i
@@ -229,11 +230,11 @@ def traceback_chains(
 
 def get_apx_chain_score(a1: int, a2: int, parms: ChainScoreParms) -> int:
     """getApxChainScore (cluster_util.cpp:395): default anchor score."""
-    dy = int(C.cord_y(np.uint64(a1))) - int(C.cord_y(np.uint64(a2)))
+    dy = CS.cy(a1) - CS.cy(a2)
     if dy < 10:
         return -10000
     thd_min_dy = 50
-    dx = int(C.anchor_x(np.uint64(a1))) - int(C.anchor_x(np.uint64(a2)))
+    dx = CS.anchor_x(a1) - CS.anchor_x(a2)
     da = abs(dx - dy)
     derr = tdiv(100 * da, max(abs(dy), abs(dx), thd_min_dy))
     if derr < 5:
@@ -260,11 +261,11 @@ def get_apx_chain_score(a1: int, a2: int, parms: ChainScoreParms) -> int:
 
 def get_apx_chain_score0(a1: int, a2: int, parms: ChainScoreParms) -> int:
     """getApxChainScore0 (cluster_util.cpp:337): toggle(1) variant (re-apx)."""
-    dy = int(C.cord_y(np.uint64(a1))) - int(C.cord_y(np.uint64(a2)))
+    dy = CS.cy(a1) - CS.cy(a2)
     if dy < 5:
         return -10000
     thd_min_dy = 50
-    dx = int(C.anchor_x(np.uint64(a1))) - int(C.anchor_x(np.uint64(a2)))
+    dx = CS.anchor_x(a1) - CS.anchor_x(a2)
     da = abs(dx - dy)
     derr = tdiv(100 * da, max(abs(dy), abs(dx), thd_min_dy))
     if derr >= 100:
@@ -299,7 +300,8 @@ def chain_anchors_base(
     recs = get_best_chains(
         anchors, it_str, it_end, thd_chain_depth, thd_chain_dx_depth, get_score, parms, get_anchor_x
     )
-    return traceback_chains(list(anchors.tolist()), recs, min_len, abort_score, thd_best_n, stop_ratio)
+    elements = [int(a) for a in (anchors.tolist() if hasattr(anchors, "tolist") else anchors)]
+    return traceback_chains(elements, recs, min_len, abort_score, thd_best_n, stop_ratio)
 
 
 # ------------------------------------------------------------- block DP
@@ -394,12 +396,12 @@ def get_apx_chain_score2(c11, c12, c21, c22, read_len, parms: ChainScoreParms) -
     thd_max_d = 20000
     thd_indel_trigger = 100
     thd_indel_op = 30
-    dy = int(C.cord_y(np.uint64(c11))) - int(C.cord_y(np.uint64(c22)))
-    dx = int(C.cord_x(np.uint64(c11))) - int(C.cord_x(np.uint64(c22)))
+    dy = CS.cy(c11) - CS.cy(c22)
+    dx = CS.cx(c11) - CS.cx(c22)
     if (
         dx < 0
         or dy < 0
-        or int(C.cord_strand(np.uint64(c11) ^ np.uint64(c22)))
+        or CS.strand(int(c11) ^ int(c22))
         or dx > thd_max_d
         or dy > thd_max_d
     ):
@@ -416,24 +418,24 @@ def get_apx_chain_score2(c11, c12, c21, c22, read_len, parms: ChainScoreParms) -
 
 def get_chain_block_dxdy(c11, c12, c21, c22, read_len, strand) -> Tuple[int, int, int]:
     """getChainBlockDxDy (cluster_util.cpp:774). Returns (f_type, dx, dy)."""
-    c11, c12, c21, c22 = (np.uint64(v) for v in (c11, c12, c21, c22))
-    s11 = int(C.cord_strand(c11))
-    s22 = int(C.cord_strand(c22))
+    c11, c12, c21, c22 = int(c11), int(c12), int(c21), int(c22)
+    s11 = CS.strand(c11)
+    s22 = CS.strand(c22)
     if s11 != strand:
         if s22 != strand:
-            dy = int(C.cord_y(c21)) - int(C.cord_y(c12))
-            dx = int(C.cord_x(c21)) - int(C.cord_x(c12))
+            dy = CS.cy(c21) - CS.cy(c12)
+            dx = CS.cx(c21) - CS.cx(c12)
         else:
-            dy = read_len - int(C.cord_y(c12)) - 1 - int(C.cord_y(c22))
-            dx = int(C.cord_x(c11)) - int(C.cord_x(c22))
+            dy = read_len - CS.cy(c12) - 1 - CS.cy(c22)
+            dx = CS.cx(c11) - CS.cx(c22)
     else:
         if s22 != strand:
-            dy = int(C.cord_y(c11)) - read_len + 1 + int(C.cord_y(c21))
-            dx = int(C.cord_x(c11)) - int(C.cord_x(c22))
+            dy = CS.cy(c11) - read_len + 1 + CS.cy(c21)
+            dx = CS.cx(c11) - CS.cx(c22)
         else:
-            dy = int(C.cord_y(c11)) - int(C.cord_y(c22))
-            dx = int(C.cord_x(c11)) - int(C.cord_x(c22))
-    return int(C.cord_strand(c11 ^ c22)), dx, dy
+            dy = CS.cy(c11) - CS.cy(c22)
+            dx = CS.cx(c11) - CS.cx(c22)
+    return CS.strand(c11 ^ c22), dx, dy
 
 
 def get_apx_chain_score3(c11, c12, c21, c22, read_len, parms: ChainScoreParms) -> int:

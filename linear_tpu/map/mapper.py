@@ -42,7 +42,9 @@ class MapperConfig:
     read_group: str = ""       # -rg (Options ctor default "", src/base.cpp:47)
     sample_name: str = ""      # -sn
     cmd_line: str = ""
-    sequence_sam: int = 0
+    sequence_sam: int = 0      # -ss
+    reform_ccs: int = 0        # -r (functional here; dead-wired in reference)
+    f_dup: int = 0             # -dup
 
     @property
     def thd_DI(self) -> int:
@@ -103,7 +105,7 @@ class Mapper:
             thd = 50 if g == 1 else (10 if g < 10 else g)
             GAP.map_gaps(
                 self.genomes, read, rc, cords_str, cords_end, apx_gaps, f1, self.f2,
-                GAP.GapParms(thd_gap_len_min=thd),
+                GAP.GapParms(thd_gap_len_min=thd, f_dup=self.cfg.f_dup),
             )
             import os
             if os.environ.get("LINEAR_DBG"):
@@ -115,12 +117,15 @@ class Mapper:
                     print(f"DBGRC {i} {a} {b}")
         return cords_str, cords_end, cords_info
 
-    def map_block(self, reads: seqio.SeqSet):
+    def map_block(self, reads: seqio.SeqSet, collect_bam: bool = False):
         """Map a block of reads; returns (all_cords_str, all_cords_end,
-        sam_text) plus apf text when requested."""
+        sam_text[, bam_lines])."""
+        from ..out import bam as BAM
+
         all_str: List[List[int]] = []
         all_end: List[List[int]] = []
         sam_parts: List[str] = []
+        bam_lines: List[dict] = []
         for rid, read in zip(reads.ids, reads.seqs):
             cords_str, cords_end, cords_info = self.map_read(read)
             all_str.append(cords_str)
@@ -129,8 +134,17 @@ class Mapper:
                 cords_str, cords_end, len(read),
                 thd_large_X=8000, thd_DI=self.cfg.thd_DI, thd_X=self.cfg.thd_X,
             )
+            if self.cfg.reform_ccs:
+                BL.reform_ccs_bams(records)
             BL.fill_bam_records(records, self.genome_ids, rid)
+            if self.cfg.sequence_sam and records:
+                BL.synth_seq(records, self.genomes[records[0].rID], read,
+                             seqio.revcomp(read))
             sam_parts.extend(line + "\n" for line in BL.sam_lines(records))
+            if collect_bam:
+                bam_lines.extend(BAM.records_to_bam_lines(records))
+        if collect_bam:
+            return all_str, all_end, "".join(sam_parts), bam_lines
         return all_str, all_end, "".join(sam_parts)
 
     def sam_header(self) -> str:

@@ -726,9 +726,8 @@ def chain_anchors_hits(anchors: List[int], hits: List[int], hits_score: List[int
     """chainAnchorsHits (src/pmpfinder.cpp:2448)."""
     get_score = CH.get_apx_chain_score if pm.cah_score_type == 0 else CH.get_apx_chain_score0
     anchors.sort(key=anchor_x, reverse=True)
-    arr = np.array(anchors, dtype=np.uint64)
     chains, chains_score = CH.chain_anchors_base(
-        arr, 0, len(anchors),
+        anchors, 0, len(anchors),
         thd_chain_depth=20, thd_chain_dx_depth=300,
         thd_best_n=50, stop_ratio=pm.cah_stop_ratio,
         min_len=1, abort_score=45,

@@ -227,3 +227,141 @@ def seed_anchors_batch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
         a = anc[i][keep[i]]
         out.append([int(v) & ((1 << 64) - 1) for v in a])
     return out
+
+
+# ------------------------------------------- closed-form fast path (no N)
+
+
+def _closed_form_states(seqs: jnp.ndarray, kmat: jnp.ndarray, span: int):
+    """Hash states at sampled call positions WITHOUT the scan, exact for
+    N-free reads with read_str=0 (the production case).
+
+    Derivation: after hashInit at 0 the stream rolls from k=span; by call
+    k >= 2*span - 1 the state telescopes to the pure window [k, k+span).
+    Earlier ("mixed") calls hold (tail of the init window ++ bases
+    [2*span - 1 ...]) — also closed-form from the init pack. The GC counter
+    x carries the permanent init bias 2*(sum b[0..span-1) - sum
+    b[span..2*span-1)) (see ops/hashing.py module notes).
+    seqs: (B, L) int32; kmat: (B, P) int64 call positions.
+    Returns (h, crh, x) at those positions.
+    """
+    B, L = seqs.shape
+    b64 = seqs.astype(jnp.uint64)
+    # window packs at arbitrary positions via gathered bases
+    idx = kmat[:, :, None] + jnp.arange(span)[None, None, :]        # (B, P, S)
+    gathered = jnp.take_along_axis(
+        b64, jnp.clip(idx, 0, L - 1).reshape(B, -1), axis=1
+    ).reshape(idx.shape)
+    coef_f = (jnp.uint64(1) << (jnp.uint64(2) * jnp.arange(span - 1, -1, -1, dtype=jnp.uint64)))
+    coef_r = (jnp.uint64(1) << (jnp.uint64(2) * jnp.arange(span, dtype=jnp.uint64)))
+    h_reg = jnp.sum(gathered * coef_f[None, None, :], axis=2)
+    crh_reg = jnp.sum((jnp.uint64(3) - gathered) * coef_r[None, None, :], axis=2)
+    wsum = jnp.sum(gathered.astype(jnp.int64), axis=2)
+    # x bias: 2*(sum b[0..span-1) - sum b[span..2*span-1)); algebra shows
+    # x(k) = 2*S(k,k+span) - 3*span + bias holds for mixed calls too (the
+    # never-removed init window and the skipped [span-1..2*span-1) region
+    # telescope into the bias), so x needs no mixed-case special handling.
+    head = b64.astype(jnp.int64)
+    bias = 2 * (jnp.sum(head[:, : span - 1], axis=1)
+                - jnp.sum(head[:, span: 2 * span - 1], axis=1))
+    x = 2 * wsum - 3 * span + bias[:, None]
+    # mixed calls: c = k - span in [0, span - 1); window =
+    # (b[c+4-?]) — concretely h = (pack(b[c+1 .. span-1)) << 2(c+1)) +
+    # pack(b[2*span-1 .. 2*span+c]); converged for c >= span - 1... the
+    # exact split: after call k the kept init part is b[k-span+1+? ..]: the
+    # state keeps the last `span` appended symbols where appends are
+    # b[span-1+1=..]=init tail then b[2*span-1...]; reconstruct directly:
+    c = (kmat - span).astype(jnp.int64)                              # call ordinal
+    n_app = jnp.minimum(c + 1, span)                                 # appended count
+    n_init = span - n_app                                            # init-tail bases kept
+    # init pack P1 = pack(b[span-1-n_init .. span-1)) MSB-first
+    i_idx = (span - 1 - n_init)[:, :, None] + jnp.arange(span)[None, None, :]
+    i_val = jnp.take_along_axis(b64, jnp.clip(i_idx, 0, L - 1).reshape(B, -1), axis=1).reshape(i_idx.shape)
+    i_mask = jnp.arange(span)[None, None, :] < n_init[:, :, None]
+    # appended pack P2 = pack(b[2*span-1 .. 2*span-1+n_app)) MSB-first
+    a_idx = (2 * span - 1) + jnp.arange(span)[None, None, :] + jnp.zeros_like(n_app)[:, :, None]
+    a_val = jnp.take_along_axis(b64, jnp.clip(a_idx, 0, L - 1).reshape(B, -1), axis=1).reshape(a_idx.shape)
+    a_mask = jnp.arange(span)[None, None, :] < n_app[:, :, None]
+
+    def pack_msb(vals, mask, comp):
+        # shift-accumulate masked MSB-first pack (and LSB pack for crh)
+        p_f = jnp.zeros(vals.shape[:2], dtype=jnp.uint64)
+        for t in range(span):
+            v = jnp.where(mask[:, :, t], vals[:, :, t], 0).astype(jnp.uint64)
+            vc = (jnp.uint64(3) - v) if comp else v
+            p_f = jnp.where(mask[:, :, t], (p_f << jnp.uint64(2)) + vc, p_f)
+        return p_f
+
+    p1_f = pack_msb(i_val, i_mask, False)
+    p2_f = pack_msb(a_val, a_mask, False)
+    h_mix = (p1_f << (jnp.uint64(2) * n_app.astype(jnp.uint64))) + p2_f
+    # crh mixed: LSB-first of complements over the same window sequence
+    # crh = sum_{u} (3 - w_u) * 4^u where w_0 is the OLDEST base
+    def pack_lsb_from_window(vals1, mask1, vals2, mask2):
+        # window = init-tail (oldest) then appended; position u counts from oldest
+        p = jnp.zeros(vals1.shape[:2], dtype=jnp.uint64)
+        u = jnp.zeros(vals1.shape[:2], dtype=jnp.uint64)
+        for t in range(span):
+            m = mask1[:, :, t]
+            v = (jnp.uint64(3) - vals1[:, :, t].astype(jnp.uint64))
+            p = jnp.where(m, p + (v << (jnp.uint64(2) * u)), p)
+            u = jnp.where(m, u + 1, u)
+        for t in range(span):
+            m = mask2[:, :, t]
+            v = (jnp.uint64(3) - vals2[:, :, t].astype(jnp.uint64))
+            p = jnp.where(m, p + (v << (jnp.uint64(2) * u)), p)
+            u = jnp.where(m, u + 1, u)
+        return p
+
+    crh_mix = pack_lsb_from_window(i_val, i_mask, a_val, a_mask)
+    # x mixed: x0 + sum over appends of 2*(new - left) where left replays
+    # the appended sequence lagged by span; equivalently x at call k equals
+    # 2*(sum of current window) - 3*span + bias with the DISCONTIGUOUS
+    # window — compute from the masked packs' base sums:
+    mixed = c < span - 1
+    h = jnp.where(mixed, h_mix, h_reg)
+    crh = jnp.where(mixed, crh_mix, crh_reg)
+    return h, crh, x
+
+
+@partial(jax.jit, static_argnames=("span", "weight", "thd_alpha", "cap"))
+def batch_seed_anchors_fast(seqs: jnp.ndarray, lens: jnp.ndarray,
+                            dir_start: jnp.ndarray, hs_lo: jnp.ndarray, hs_hi: jnp.ndarray,
+                            span: int = SPAN, weight: int = WEIGHT,
+                            thd_alpha: int = THD_ALPHA, cap: int = 32):
+    """Closed-form variant of batch_seed_anchors: exact for N-free reads
+    (the host wrapper falls back to the scan kernel when a batch contains N
+    bases). ~P sampled gathers instead of an L-step scan."""
+    B, L = seqs.shape
+    first = span + thd_alpha - 1
+    ks = jnp.arange(first, L, thd_alpha, dtype=jnp.int64)
+    P = ks.shape[0]
+    kmat = jnp.broadcast_to(ks[None, :], (B, P))
+    in_range = kmat < (lens[:, None] - span)
+    hj, crhj, xj = _closed_form_states(seqs, kmat, span)
+    xval, yval, strand = _minimizer_xy_batch(seqs, kmat, hj, crhj, xj, span, weight)
+    prev = jnp.concatenate([jnp.zeros((B, 1), dtype=xval.dtype), xval[:, :-1]], axis=1)
+    process = (xval != prev) & in_range
+    xc = jnp.clip(xval, 0, dir_start.shape[0] - 2)
+    lo = dir_start[xc]
+    hi = dir_start[xc + 1]
+    cnt = jnp.minimum(hi - lo, cap)
+    ent_idx = lo[:, :, None] + jnp.arange(cap)[None, None, :]
+    ent_valid = (jnp.arange(cap)[None, None, :] < cnt[:, :, None]) & process[:, :, None]
+    ent_idx = jnp.clip(ent_idx, 0, hs_lo.shape[0] - 1)
+    e_lo = hs_lo[ent_idx].astype(jnp.uint64)
+    e_hi = hs_hi[ent_idx].astype(jnp.uint64)
+    ent = (e_hi << jnp.uint64(32)) | e_lo
+    hs_y = (ent & jnp.uint64((1 << 20) - 1)).astype(jnp.int64)
+    val = hs_y ^ yval[:, :, None]
+    low = val & (-val)
+    y_ok = (val == 0) | (val < (low << 2))
+    keep = ent_valid & y_ok
+    ent_strand = ((ent >> jnp.uint64(61)) & jnp.uint64(1)).astype(jnp.int64)
+    same = ent_strand == strand[:, :, None]
+    cordy = jnp.where(same, kmat[:, :, None], lens[:, None, None] - 1 - kmat[:, :, None]).astype(jnp.uint64)
+    ent_y = ent & jnp.uint64((1 << 20) - 1)
+    anc = ent - (cordy << jnp.uint64(20)) + cordy - ent_y
+    flag_strand = jnp.uint64(1) << jnp.uint64(61)
+    anc = jnp.where(same, anc & ~flag_strand, anc | flag_strand)
+    return anc.astype(jnp.int64), keep

@@ -352,6 +352,7 @@ def sam_lines(records: List[BamLinkRecord]) -> List[str]:
                 break
             j = records[j].next_id
         cig = "".join(cig_parts) or "*"
+        seq = getattr(rec, "seq", "") or "*"
         fields = [
             rec.qName,
             str(rec.flag),
@@ -362,7 +363,7 @@ def sam_lines(records: List[BamLinkRecord]) -> List[str]:
             "*",
             "0",
             "0",
-            "*",
+            seq,
             "*",
         ]
         saz = getattr(rec, "saz_tag", "")
@@ -382,5 +383,89 @@ def sam_header(
     """setMapperBamHeaders + SeqAn writeHeader (src/mapper.cpp:288-321)."""
     lines = [f"@SQ\tSN:{gid}\tLN:{ln}" for gid, ln in zip(genome_ids, genome_lens)]
     lines.append(f"@RG\tID:{read_group}\tSM:{sample_name}")
+    lines.append(f"@PG\tID:M1-3\tPN:Linear\tCL:{cmd_line}")
+    return "\n".join(lines) + "\n"
+
+
+def reform_ccs_bams(records: List[BamLinkRecord], thd_rcb_xy: int = 15) -> None:
+    """reformCCSBams (src/f_io.cpp:1166): fold small I/D (tracked drift
+    |xy| < thd) into '=' for CCS cigar compression. NOTE: in the reference
+    this is only reachable from dead code (print_cords_sam, commented out at
+    src/f_io.cpp:1244-1279) — the -r flag is accepted but inert there; here
+    it is functional."""
+    visited = [False] * len(records)
+    for i in range(len(records)):
+        if visited[i]:
+            continue
+        it = i
+        xy = 0
+        while True:
+            visited[it] = True
+            cig = records[it].cigar
+            out: List[Cigar] = []
+            for c in cig:
+                new_count = c.count
+                comp_count = new_count
+                comp_op = c.op
+                if c.op == 'I':
+                    if abs(xy + new_count) < thd_rcb_xy:
+                        xy += new_count
+                        comp_op = '='
+                        comp_count = new_count
+                elif c.op == 'D':
+                    if abs(xy - new_count) < thd_rcb_xy:
+                        xy -= new_count
+                        comp_op = '='
+                        comp_count = 0
+                if out and out[-1].op == comp_op:
+                    out[-1].count += comp_count
+                elif comp_count != 0:
+                    out.append(Cigar(comp_op, comp_count))
+            records[it].cigar = out
+            if records[it].is_chain_end():
+                break
+            it = records[it].next_id
+
+
+def synth_seq(records: List[BamLinkRecord], genome: "np.ndarray",
+              read: "np.ndarray", rc: "np.ndarray", f_is_align: int = 1) -> None:
+    """cigar2SamSeq over each head line (src/align_util.cpp:1434,
+    fillBamRecordLinkRecords :762-788): synthesize the SEQ field when
+    sequence_sam is enabled. f_is_align=1 is the runtime default
+    (FIOParms ctor src/f_io.cpp:21): read bases for I/M/=/X/S, skip D/H."""
+    import numpy as _np
+
+    bases = "ACGTN"
+    for it in heads_of(records):
+        rec = records[it]
+        src2 = rc if rec.flag & 16 else read
+        i1 = rec.beginPos
+        i2 = 0
+        parts: List[str] = []
+        j = it
+        while True:
+            for c in records[j].cigar:
+                if c.op == 'D':
+                    i1 += c.count
+                elif c.op in ('I', 'M', '=', 'X', 'S'):
+                    seg = src2[i2: i2 + c.count]
+                    parts.append("".join(bases[b] for b in seg))
+                    if c.op not in ('I', 'S'):
+                        i1 += c.count
+                    i2 += c.count
+                elif c.op == 'H':
+                    i2 += c.count
+            if records[j].is_chain_end():
+                break
+            j = records[j].next_id
+        rec.seq = "".join(parts)  # type: ignore[attr-defined]
+
+
+def sam_header_pbsv(genome_ids: List[str], genome_lens: List[int],
+                    read_group: str, sample_name: str, cmd_line: str) -> str:
+    """bam_header2 (src/mapper.cpp:308-312): the pbsv variant writes the RG
+    ID tag with a leading space (setTagValue(\" ID\", ...) quirk)."""
+    lines = [f"@SQ\tSN:{gid}\tLN:{ln}" for gid, ln in zip(genome_ids, genome_lens)]
+    lines.append(f"@RG\t ID:{read_group}\tSM:{sample_name}")
     lines.append(f"@PG\tID:M1-3\tPN:Linear\tCL:{cmd_line}")
     return "\n".join(lines) + "\n"

@@ -22,18 +22,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.chain_dp import batch_chain_dp, _anchor_x
-from ..ops.seeding import batch_seed_anchors
+from ..ops.seeding import batch_seed_anchors, batch_seed_anchors_fast
 
 
-@partial(jax.jit, static_argnames=("cap", "n_max", "thd_alpha"))
+@partial(jax.jit, static_argnames=("cap", "n_max", "thd_alpha", "fast"))
 def mapping_step(seqs: jnp.ndarray, lens: jnp.ndarray,
                  dir_start: jnp.ndarray, hs_lo: jnp.ndarray, hs_hi: jnp.ndarray,
-                 cap: int = 8, n_max: int = 256, thd_alpha: int = 15):
+                 cap: int = 8, n_max: int = 256, thd_alpha: int = 15,
+                 fast: bool = False):
     """Device mapping step: seed anchors, sort descending by anchor-x, run
     the chaining DP. Returns (anchors_sorted, n_anchors, p2, score, length).
+    fast=True uses the closed-form seeding (exact for N-free batches; the
+    caller checks for N bases and falls back to the exact scan kernel).
     """
-    anc, keep = batch_seed_anchors(seqs, lens, dir_start, hs_lo, hs_hi,
-                                   thd_alpha=thd_alpha, cap=cap)
+    seeder = batch_seed_anchors_fast if fast else batch_seed_anchors
+    anc, keep = seeder(seqs, lens, dir_start, hs_lo, hs_hi,
+                       thd_alpha=thd_alpha, cap=cap)
     B = anc.shape[0]
     flat = anc.reshape(B, -1)
     kflat = keep.reshape(B, -1)
