@@ -72,7 +72,7 @@ def run_filter(args) -> int:
         f_dup=args.duplication,
     )
     t0 = time.time()
-    mapper = Mapper(genome_paths, cfg)
+    mapper = Mapper(genome_paths, cfg, device=args.device)
     print(f"--Read genomes  {len(mapper.genomes)} sequences "
           f"{sum(mapper.genome_lens) >> 20} mbases", file=sys.stderr)
     mapper.prepare()

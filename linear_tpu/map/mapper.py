@@ -58,8 +58,10 @@ class MapperConfig:
 class Mapper:
     """Holds genomes, features, index; maps read blocks."""
 
-    def __init__(self, genome_paths: List[str], cfg: Optional[MapperConfig] = None):
+    def __init__(self, genome_paths: List[str], cfg: Optional[MapperConfig] = None,
+                 device: str = "host"):
         self.cfg = cfg or MapperConfig()
+        self.device = device
         gset = seqio.load_genomes(genome_paths)
         # genome ids are truncated at the first space (src/base.cpp:188-195)
         self.genome_ids = [g.split(" ")[0] for g in gset.ids]
@@ -67,6 +69,29 @@ class Mapper:
         self.genome_lens = [len(s) for s in self.genomes]
         self.f2: List[PMP.Feats] = []
         self.index: Optional[DI.DIndex] = None
+        self._dev_index = None
+
+    def _device_seed_block(self, reads: "seqio.SeqSet"):
+        """Batched device seeding for a read block (exact vs the host
+        oracle); returns per-read anchor lists or None entries for reads the
+        device path does not cover (too long for the pad bucket)."""
+        from ..ops import seeding as SD
+
+        if self._dev_index is None:
+            self._dev_index = SD.upload_index(self.index)
+        out: List = [None] * len(reads.seqs)
+        eligible = [i for i, r in enumerate(reads.seqs)
+                    if THD_MIN_READ_LEN < len(r)]
+        if not eligible:
+            return out
+        pad = 1 << max(int(np.ceil(np.log2(max(len(reads.seqs[i]) for i in eligible)))), 10)
+        if pad > (1 << 17):
+            return out
+        batch = [reads.seqs[i] for i in eligible]
+        anchors = SD.seed_anchors_batch(batch, self._dev_index, pad_len=pad)
+        for i, a in zip(eligible, anchors):
+            out[i] = a
+        return out
 
     def create_features(self) -> None:
         self.f2 = [
@@ -82,7 +107,7 @@ class Mapper:
         if self.index is None:
             self.create_index()
 
-    def map_read(self, read: np.ndarray):
+    def map_read(self, read: np.ndarray, seed_anchors=None):
         """Per-read body of p_calRecords. Returns (cords_str, cords_end,
         cords_info)."""
         if len(read) <= THD_MIN_READ_LEN:
@@ -92,7 +117,7 @@ class Mapper:
             PMP.Feats(F.create_features_serial(read)),
             PMP.Feats(F.create_features_serial(rc)),
         ]
-        pm = PMP.PMPParms()
+        pm = PMP.PMPParms(seed_anchors=seed_anchors)
         cords_str, cords_end, apx_gaps, cords_info = PMP.apx_map(
             self.index, read, f1, self.f2, f_chain=self.cfg.apx_chain_flag, pm=pm
         )
@@ -126,8 +151,9 @@ class Mapper:
         all_end: List[List[int]] = []
         sam_parts: List[str] = []
         bam_lines: List[dict] = []
-        for rid, read in zip(reads.ids, reads.seqs):
-            cords_str, cords_end, cords_info = self.map_read(read)
+        pre = self._device_seed_block(reads) if self.device == "tpu" else [None] * len(reads.seqs)
+        for (rid, read), seeded in zip(zip(reads.ids, reads.seqs), pre):
+            cords_str, cords_end, cords_info = self.map_read(read, seed_anchors=seeded)
             all_str.append(cords_str)
             all_end.append(cords_end)
             records = BL.cords2bamlink(

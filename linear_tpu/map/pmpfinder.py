@@ -61,6 +61,9 @@ class PMPParms:
     # (src/base.cpp:43) and loadOptions preset-1 zeroes it (src/mapper.cpp:184)
     cah_stop_ratio: float = 0.0
     apx_sen: float = 0.7         # ApxParms.thd_sen
+    # hybrid pipeline: device-precomputed anchors for the full-read first
+    # pass (read_str=0, thd_alpha=15); re-apx passes always use the host path
+    seed_anchors: object = None
 
     def toggle(self, i: int) -> None:
         self.thd_alpha = [15, 7][i] if i in (0, 1) else self.thd_alpha
@@ -821,8 +824,12 @@ def mn_map_read_list(
 
     read_str = cy(map_str)
     read_end = cy(map_end)
-    got = DI.query_anchors(index, read, read_str, read_end, thd_alpha=pm.thd_alpha)
-    anchors.extend(int(a) for a in got)
+    if (pm.seed_anchors is not None and read_str == 0 and pm.thd_alpha == 15
+            and read_end >= len(read)):
+        anchors.extend(pm.seed_anchors)
+    else:
+        got = DI.query_anchors(index, read, read_str, read_end, thd_alpha=pm.thd_alpha)
+        anchors.extend(int(a) for a in got)
     if alg_type == 1:
         alist = get_d_anchor_list(anchors, read_str, read_end, index.span)
         get_d_hit_list(hits, alist, anchors, pm)

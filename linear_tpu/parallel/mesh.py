@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.chain_dp import batch_chain_dp, _anchor_x
+from ..ops.chain_dp import batch_chain_dp, batch_chain_dp_windowed, _anchor_x
 from ..ops.seeding import batch_seed_anchors, batch_seed_anchors_fast
 
 
@@ -47,8 +47,8 @@ def mapping_step(seqs: jnp.ndarray, lens: jnp.ndarray,
     key = jnp.where(kflat, -ax, jnp.int64(1) << 62)
     order = jnp.argsort(key, axis=1)[:, :n_max]
     sorted_anc = jnp.take_along_axis(flat, order, axis=1)
-    p2, score, length = batch_chain_dp(sorted_anc, n_anchors)
-    return sorted_anc, n_anchors, p2, score, length
+    p2, score, length, overflow = batch_chain_dp_windowed(sorted_anc, n_anchors, W=64)
+    return sorted_anc, n_anchors, p2, score, length, overflow
 
 
 def make_dp_mesh(devices=None, axis: str = "dp") -> Mesh:

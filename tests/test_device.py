@@ -83,3 +83,54 @@ def test_device_chain_dp_matches_host():
                     recs[i].root_ptr, recs[i].f_leaf) == (
                 dev[i].p2anchor, dev[i].score, dev[i].length,
                 dev[i].root_ptr, dev[i].f_leaf), (b, i)
+
+
+def test_windowed_dp_matches_full():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    B, N = 4, 96
+    pad = np.zeros((B, N), dtype=np.int64)
+    counts = []
+    for b in range(B):
+        n = int(rng.integers(8, N))
+        ys = np.sort(rng.integers(0, 4000, n))
+        anc = [(((123000 + int(rng.integers(-150, 150)) + (1 << 20)) << 20) + int(y)
+                + (int(rng.integers(0, 2)) << 61)) for y in ys]
+        anc.sort(key=anchor_x, reverse=True)
+        pad[b, :n] = anc
+        counts.append(n)
+    na = jnp.asarray(np.array(counts))
+    p2a, sa, la = CD.batch_chain_dp(jnp.asarray(pad), na)
+    p2b, sb, lb, ov = CD.batch_chain_dp_windowed(jnp.asarray(pad), na, W=64)
+    p2a, sa, la, p2b, sb, lb, ov = map(np.asarray, (p2a, sa, la, p2b, sb, lb, ov))
+    for b in range(B):
+        if ov[b]:
+            continue
+        n = counts[b]
+        assert np.array_equal(p2a[b][:n], p2b[b][:n])
+        assert np.array_equal(sa[b][:n], sb[b][:n])
+        assert np.array_equal(la[b][:n], lb[b][:n])
+
+
+def test_hybrid_mapper_equals_host(small_world, tmp_path):
+    rng, genome, idx, dev = small_world
+    from linear_tpu.map.mapper import Mapper, MapperConfig
+
+    seqio.write_fasta(str(tmp_path / "g.fa"), ["chrH x"], [genome])
+    reads = seqio.SeqSet()
+    for i in range(3):
+        pos = int(rng.integers(0, 25000))
+        r = _mutate(genome[pos:pos + 2000], rng)
+        if i % 2:
+            r = seqio.revcomp(r)
+        reads.ids.append(f"r{i} t")
+        reads.seqs.append(r)
+    mh = Mapper([str(tmp_path / "g.fa")], MapperConfig(gap_len=50, threads=4), device="host")
+    mt = Mapper([str(tmp_path / "g.fa")], MapperConfig(gap_len=50, threads=4), device="tpu")
+    mh.prepare()
+    mt.index = mh.index
+    mt.f2 = mh.f2
+    _, _, sam_h = mh.map_block(reads)
+    _, _, sam_t = mt.map_block(reads)
+    assert sam_h == sam_t
