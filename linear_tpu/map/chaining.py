@@ -292,12 +292,16 @@ def chain_anchors_base(
     get_score: Callable,
     parms: ChainScoreParms,
     get_anchor_x: Callable[[int], int],
+    pre_recs: List[ChainsRecord] | None = None,
 ) -> Tuple[list, list]:
     """chainAnchorsBase (cluster_util.cpp:445). Returns (chains, scores):
-    chains = list of anchor-value lists (leaf -> root order)."""
+    chains = list of anchor-value lists (leaf -> root order).
+
+    pre_recs: DP table precomputed on device (ops.chain_dp) for these exact
+    anchors — skips the host getBestChains, traceback unchanged."""
     if len(anchors) < 2:
         return [], []
-    recs = get_best_chains(
+    recs = pre_recs if pre_recs is not None else get_best_chains(
         anchors, it_str, it_end, thd_chain_depth, thd_chain_dx_depth, get_score, parms, get_anchor_x
     )
     elements = [int(a) for a in (anchors.tolist() if hasattr(anchors, "tolist") else anchors)]

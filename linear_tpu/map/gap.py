@@ -1975,11 +1975,6 @@ def map_gap_(seqs, read, comstr, gap_str: int, gap_end: int, f1, f2,
     del tiles_end[0]
     del tiles_str[-1]
     del tiles_end[-1]
-    import os
-    if os.environ.get("LINEAR_DBG"):
-        print(f"DBGMG {gap_str} {gap_end} {direction}")
-        for i, (a, b) in enumerate(zip(tiles_str, tiles_end)):
-            print(f"DBGTILE {i} {a} {b}")
     return 0
 
 

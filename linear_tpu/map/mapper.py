@@ -93,6 +93,56 @@ class Mapper:
             out[i] = a
         return out
 
+    def _device_chain_block(self, seeded: List):
+        """Batched device chaining DP (ops.chain_dp) for the main apx pass.
+
+        For each device-seeded read, replays the host pre-chain pipeline
+        (filterAnchors + descending anchor-x sort, src/pmpfinder.cpp:2506,
+        :2448) and runs the windowed getBestChains scan on device. Returns
+        per-read (sorted_anchors, ChainsRecord list) or None (host DP)."""
+        import jax.numpy as jnp
+
+        from ..ops import chain_dp as CDP
+        from ..utils.cordscalar import anchor_x
+        from . import pmpfinder as PMP
+
+        out: List = [None] * len(seeded)
+        pre: List = []
+        idxs: List[int] = []
+        for i, seeds in enumerate(seeded):
+            if seeds is None:
+                continue
+            anchors = [0]
+            anchors.extend(seeds)
+            PMP.filter_anchors(anchors, 1, 2, 2)
+            anchors.sort(key=anchor_x, reverse=True)
+            if len(anchors) < 2 or len(anchors) > 8192:
+                # < 2: chainAnchorsBase early-outs; > 8192: host DP
+                continue
+            pre.append(anchors)
+            idxs.append(i)
+        if not pre:
+            return out
+        N = max(len(a) for a in pre)
+        N = max(1 << int(np.ceil(np.log2(N))), 64)
+        arr = np.zeros((len(pre), N), dtype=np.int64)
+        cnt = np.zeros((len(pre),), dtype=np.int32)
+        for r, a in enumerate(pre):
+            arr[r, : len(a)] = a
+            cnt[r] = len(a)
+        p2, score, length, overflow = CDP.batch_chain_dp_windowed(
+            jnp.asarray(arr), jnp.asarray(cnt), W=64, score_type=0)
+        p2 = np.asarray(p2)
+        score = np.asarray(score)
+        length = np.asarray(length)
+        overflow = np.asarray(overflow)
+        for r, i in enumerate(idxs):
+            if overflow[r]:
+                continue
+            recs = CDP.chain_records_from_dp(p2[r], score[r], length[r], int(cnt[r]))
+            out[i] = (pre[r], recs)
+        return out
+
     def create_features(self) -> None:
         self.f2 = [
             PMP.Feats(F.create_features_genome(s, self.cfg.threads)) for s in self.genomes
@@ -107,7 +157,7 @@ class Mapper:
         if self.index is None:
             self.create_index()
 
-    def map_read(self, read: np.ndarray, seed_anchors=None):
+    def map_read(self, read: np.ndarray, seed_anchors=None, chain_pre=None):
         """Per-read body of p_calRecords. Returns (cords_str, cords_end,
         cords_info)."""
         if len(read) <= THD_MIN_READ_LEN:
@@ -117,7 +167,7 @@ class Mapper:
             PMP.Feats(F.create_features_serial(read)),
             PMP.Feats(F.create_features_serial(rc)),
         ]
-        pm = PMP.PMPParms(seed_anchors=seed_anchors)
+        pm = PMP.PMPParms(seed_anchors=seed_anchors, chain_pre=chain_pre)
         cords_str, cords_end, apx_gaps, cords_info = PMP.apx_map(
             self.index, read, f1, self.f2, f_chain=self.cfg.apx_chain_flag, pm=pm
         )
@@ -132,14 +182,7 @@ class Mapper:
                 self.genomes, read, rc, cords_str, cords_end, apx_gaps, f1, self.f2,
                 GAP.GapParms(thd_gap_len_min=thd, f_dup=self.cfg.f_dup),
             )
-            import os
-            if os.environ.get("LINEAR_DBG"):
-                for i, (a, b) in enumerate(zip(cords_str, cords_end)):
-                    print(f"DBGGC {i} {a} {b}")
             GAP.reform_cords(cords_str, cords_end)
-            if os.environ.get("LINEAR_DBG"):
-                for i, (a, b) in enumerate(zip(cords_str, cords_end)):
-                    print(f"DBGRC {i} {a} {b}")
         return cords_str, cords_end, cords_info
 
     def map_block(self, reads: seqio.SeqSet, collect_bam: bool = False):
@@ -151,9 +194,15 @@ class Mapper:
         all_end: List[List[int]] = []
         sam_parts: List[str] = []
         bam_lines: List[dict] = []
-        pre = self._device_seed_block(reads) if self.device == "tpu" else [None] * len(reads.seqs)
-        for (rid, read), seeded in zip(zip(reads.ids, reads.seqs), pre):
-            cords_str, cords_end, cords_info = self.map_read(read, seed_anchors=seeded)
+        if self.device == "tpu":
+            pre = self._device_seed_block(reads)
+            chain_pre = self._device_chain_block(pre)
+        else:
+            pre = [None] * len(reads.seqs)
+            chain_pre = [None] * len(reads.seqs)
+        for (rid, read), seeded, chained in zip(zip(reads.ids, reads.seqs), pre, chain_pre):
+            cords_str, cords_end, cords_info = self.map_read(
+                read, seed_anchors=seeded, chain_pre=chained)
             all_str.append(cords_str)
             all_end.append(cords_end)
             records = BL.cords2bamlink(

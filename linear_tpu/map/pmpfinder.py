@@ -64,6 +64,10 @@ class PMPParms:
     # hybrid pipeline: device-precomputed anchors for the full-read first
     # pass (read_str=0, thd_alpha=15); re-apx passes always use the host path
     seed_anchors: object = None
+    # device-precomputed anchor chaining DP for the first (main) pass:
+    # (sorted_anchors_desc, ChainsRecord list); consumed once and validated
+    # against the host-filtered anchors before use
+    chain_pre: object = None
 
     def toggle(self, i: int) -> None:
         self.thd_alpha = [15, 7][i] if i in (0, 1) else self.thd_alpha
@@ -728,7 +732,15 @@ def pre_filter_chains2(
 def chain_anchors_hits(anchors: List[int], hits: List[int], hits_score: List[int], pm: PMPParms) -> None:
     """chainAnchorsHits (src/pmpfinder.cpp:2448)."""
     get_score = CH.get_apx_chain_score if pm.cah_score_type == 0 else CH.get_apx_chain_score0
-    anchors.sort(key=anchor_x, reverse=True)
+    pre_recs = None
+    if pm.chain_pre is not None and pm.cah_score_type == 0:
+        # device precompute already holds the filtered, desc-sorted anchors
+        # (the same code path ran on the same seeds in _device_chain_block)
+        pre_anchors, pre_recs = pm.chain_pre
+        pm.chain_pre = None
+        anchors[:] = pre_anchors
+    else:
+        anchors.sort(key=anchor_x, reverse=True)
     chains, chains_score = CH.chain_anchors_base(
         anchors, 0, len(anchors),
         thd_chain_depth=20, thd_chain_dx_depth=300,
@@ -736,6 +748,7 @@ def chain_anchors_hits(anchors: List[int], hits: List[int], hits_score: List[int
         min_len=1, abort_score=45,
         get_score=get_score, parms=CH.ChainScoreParms(),
         get_anchor_x=anchor_x,
+        pre_recs=pre_recs,
     )
     for chain in chains:
         for a in chain:
@@ -757,14 +770,11 @@ def get_anchor_hits_chains(
     thd_anchor_accept_min = 2
     thd_large_gap = 600
     thd_anchor_err_bit = 2
-    import os
-    if os.environ.get("LINEAR_DBG"):
-        for i, a in enumerate(anchors):
-            print(f"DBGANC0 {i} {a}")
-    filter_anchors(anchors, thd_anchor_accept_density, thd_anchor_accept_min, thd_anchor_err_bit)
-    if os.environ.get("LINEAR_DBG"):
-        for i, a in enumerate(anchors):
-            print(f"DBGANC1 {i} {a}")
+    if not (pm.chain_pre is not None and pm.cah_score_type == 0):
+        # with a device chain precompute, the filter already ran on the same
+        # seeds in Mapper._device_chain_block; chain_anchors_hits installs
+        # its filtered+sorted anchors
+        filter_anchors(anchors, thd_anchor_accept_density, thd_anchor_accept_min, thd_anchor_err_bit)
     hits_score.clear()
     hits_score.append(0)
     chain_anchors_hits(anchors, hits, hits_score, pm)
@@ -855,15 +865,7 @@ def apx_map_(
     hits.append(FLAG_END)  # initHits
     anchors: List[int] = [0]  # anchors.init(1)
     hits_score: List[int] = []
-    import os
-    if os.environ.get("LINEAR_DBG"):
-        print(f"DBGCALL apxMap_ {cy(map_str)} {cy(map_end)}")
     mn_map_read_list(index, read, anchors, hits, hits_score, map_str, map_end, alg_type, pm)
-    if os.environ.get("LINEAR_DBG"):
-        for i, h in enumerate(hits):
-            print(f"DBGHIT {i} {h}")
-        for i, sc in enumerate(hits_score):
-            print(f"DBGHSC {i} {sc}")
     read_str = cy(map_str)
     read_end = cy(map_end)
     n_block = 0
@@ -874,9 +876,6 @@ def apx_map_(
     for i in range(len(cords_info)):
         cords_info[i] = 100 - i
     path_dst(hits, f1, f2, cords, read_str, read_end, len(read), alg_type)
-    if os.environ.get("LINEAR_DBG"):
-        for i, c in enumerate(cords):
-            print(f"DBGCORD {i} {c}")
 
 
 def apx_map(
