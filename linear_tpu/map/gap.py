@@ -296,14 +296,34 @@ def ganchor2tile(a: int) -> int:
 
 def g_map_hs_kmer(seq: np.ndarray, g_hs: List[int], s: int, e: int, shape_len: int, step: int, typ: int) -> None:
     """g_mapHs_kmer_ (src/gap_util.cpp:632): double-strand canonical stream
-    (hashInit + hashNextV: value = x<0 ? crh : h; strand = x<0)."""
+    (hashInit + hashNextV: value = x<0 ? crh : h; strand = x<0).
+
+    Vectorized closed form for N-free ranges (the rolling state at position
+    k telescopes to pure window functions of seq[k:k+span) — carries from
+    any earlier N are shifted/masked out once the window is clean); ranges
+    containing N fall back to the exact scalar stream."""
     if len(seq) < shape_len:
+        return
+    stop = min(e, len(seq) - shape_len)
+    if stop > s >= 0 and not (np.asarray(seq[s: stop + shape_len - 1]) == 4).any():
+        ks = np.arange(s + step - 1, stop, step, dtype=np.int64)
+        if ks.size == 0:
+            return
+        win = np.lib.stride_tricks.sliding_window_view(
+            np.asarray(seq[s: stop + shape_len - 1], dtype=np.int64), shape_len
+        )[ks - s]                                            # (m, span)
+        pow_f = (1 << (2 * np.arange(shape_len - 1, -1, -1, dtype=np.int64)))
+        h = win @ pow_f
+        crh = (3 - win) @ pow_f[::-1]
+        x = 2 * win.sum(axis=1) - 3 * shape_len
+        std = (x < 0).astype(np.int64)
+        val = np.where(std == 1, crh, h) & ((1 << (2 * shape_len)) - 1)
+        g_hs.extend(((val << 33) + (typ << 31) + (std << 30) + ks).tolist())
         return
     st = HashStream(shape_len, weight=shape_len)
     if st.init(seq, s) < 0:
         return
     count = 0
-    stop = min(e, len(seq) - shape_len)
     for k in range(s, stop):
         st.nexth(seq, k)  # updates h, crh, x identically to hashNextV
         std = 1 if st.x < 0 else 0
@@ -315,8 +335,23 @@ def g_map_hs_kmer(seq: np.ndarray, g_hs: List[int], s: int, e: int, shape_len: i
 
 
 def c_stream(seq: np.ndarray, g_hs: List[int], sq_str: int, sq_end: int, step: int, shape_len: int, typ: int) -> None:
-    """c_stream_ (src/gap_util.cpp:1694): single-strand rolling hash."""
+    """c_stream_ (src/gap_util.cpp:1694): single-strand rolling hash.
+
+    Vectorized closed form for N-free ranges (same telescoping argument as
+    g_map_hs_kmer); N-containing ranges use the exact scalar roll."""
     if len(seq) < shape_len:
+        return
+    stop = min(sq_end, len(seq) - shape_len)
+    if stop > sq_str >= 0 and not (np.asarray(seq[sq_str: stop + shape_len - 1]) == 4).any():
+        ks = np.arange(sq_str + step - 1, stop, step, dtype=np.int64)
+        if ks.size == 0:
+            return
+        win = np.lib.stride_tricks.sliding_window_view(
+            np.asarray(seq[sq_str: stop + shape_len - 1], dtype=np.int64), shape_len
+        )[ks - sq_str]
+        pow_f = (1 << (2 * np.arange(shape_len - 1, -1, -1, dtype=np.int64)))
+        h = win @ pow_f
+        g_hs.extend(((h << 33) + (typ << 31) + ks).tolist())
         return
     # hashInit_hs(shape, begin+sq_str, 0): span-1 bases from sq_str
     h = 0
@@ -325,7 +360,6 @@ def c_stream(seq: np.ndarray, g_hs: List[int], sq_str: int, sq_end: int, step: i
         h = ((h << 2) + (int(seq[p]) if p < len(seq) else 0)) & M64
     count = 0
     mask = (1 << (2 * shape_len - 2)) - 1
-    stop = min(sq_end, len(seq) - shape_len)
     for k in range(sq_str, stop):
         v2 = int(seq[k + shape_len - 1])
         h = (((h & mask) << 2) + v2) & M64
@@ -396,12 +430,11 @@ def g_map_hs_set_anchors(g_hs: List[int], g_anchor: List[int], p1: int, p2: int,
                     g_anchor.append(a)
 
 
-def g_create_anchors(g_hs: List[int], g_anchor: List[int], shape_len: int, direction: int,
-                     anchor_lower: int, anchor_upper: int, rvcp_const: int,
-                     gap_str: int, gap_end: int, gp: GapParms) -> None:
-    """g_create_anchors_ (src/gap_util.cpp:1596)."""
-    mask = (1 << (2 * shape_len + 33)) - 1
-    g_hs.sort(key=lambda a: a & mask)
+def _group_triples(g_hs: List[int], mask: int) -> List[Tuple[int, int, int]]:
+    """The (p1, p2, k) group walk of g_create_anchors_ (src/gap_util.cpp:1596):
+    xval groups split at the type boundary; the trailing group (no following
+    boundary) is never emitted — same as the C++."""
+    triples: List[Tuple[int, int, int]] = []
     p1 = p2 = 0
     for k in range(1, len(g_hs)):
         xt = g_hs_xt((g_hs[k] ^ g_hs[k - 1]) & mask)
@@ -410,10 +443,64 @@ def g_create_anchors(g_hs: List[int], g_anchor: List[int], shape_len: int, direc
         elif xt == 1:
             p2 = k
         else:
-            g_map_hs_set_anchors(g_hs, g_anchor, p1, p2, k, rvcp_const,
-                                 anchor_lower, anchor_upper, gap_str, gap_end, direction, gp)
+            triples.append((p1, p2, k))
             p1 = k
             p2 = k
+    return triples
+
+
+def _set_anchors_batch(g_hs: List[int], g_anchor: List[int],
+                       triples: List[Tuple[int, int, int]], rvcp_const: int,
+                       anchor_lower: int, anchor_upper: int,
+                       gap_str: int, gap_end: int, direction: int, gp: GapParms) -> None:
+    """Vectorized g_mapHs_setAnchors_ (src/gap_util.cpp:669) over all xval
+    groups at once; emission order (group, then i-major/j-minor) identical
+    to the scalar double loop."""
+    ii: List[np.ndarray] = []
+    jj: List[np.ndarray] = []
+    for p1, p2, k in triples:
+        n0, n1 = p2 - p1, k - p2
+        if n0 <= 0 or n1 <= 0:
+            continue
+        ii.append(np.repeat(np.arange(p1, p2, dtype=np.int64), n1))
+        jj.append(np.tile(np.arange(p2, k, dtype=np.int64), n0))
+    if not ii:
+        return
+    arr = np.asarray(g_hs, dtype=np.int64)
+    hs1 = arr[np.concatenate(ii)]
+    hs2 = arr[np.concatenate(jj)]
+    std = (hs1 ^ hs2) >> 30 & 1
+    n = 2 * std - 1
+    x = rvcp_const * std - n * (hs2 & G_HS_MASK2)
+    a = (((hs1 + G_HS_ANCHOR_ZERO - x) & G_HS_MASK2) << 20) + x + (std << G_HS_ANCHOR_BIT2)
+    str_anchor = ((a >> G_HS_ANCHOR_BIT1) & G_HS_ANCHOR_MASK5) - G_HS_ANCHOR_ZERO
+    if direction == 0:
+        keep = (anchor_lower <= str_anchor) & (str_anchor < anchor_upper)
+    else:
+        if direction < 0:
+            anchor_base = g_hs_cord2str_anchor(gap_end)
+            dy = cy(gap_end) - (a & G_HS_ANCHOR_MASK1)
+        else:
+            anchor_base = g_hs_cord2str_anchor(gap_str)
+            dy = (a & G_HS_ANCHOR_MASK1) - cy(gap_str)
+        d_anchor = int((1 << 7) * gp.thd_gmsa_d_anchor_rate)
+        d_acc = np.maximum((dy >> 7) * d_anchor, 50)
+        lo = np.maximum(anchor_base - d_acc, 0)
+        hi = anchor_base + d_acc
+        a_strand = (a >> G_HS_ANCHOR_BIT2) & 1
+        keep = (dy >= 0) & (a_strand == cord_strand(gap_str)) & (lo <= str_anchor) & (str_anchor < hi)
+    g_anchor.extend(a[keep].tolist())
+
+
+def g_create_anchors(g_hs: List[int], g_anchor: List[int], shape_len: int, direction: int,
+                     anchor_lower: int, anchor_upper: int, rvcp_const: int,
+                     gap_str: int, gap_end: int, gp: GapParms) -> None:
+    """g_create_anchors_ (src/gap_util.cpp:1596)."""
+    mask = (1 << (2 * shape_len + 33)) - 1
+    g_hs.sort(key=lambda a: a & mask)
+    triples = _group_triples(g_hs, mask)
+    _set_anchors_batch(g_hs, g_anchor, triples, rvcp_const,
+                       anchor_lower, anchor_upper, gap_str, gap_end, direction, gp)
 
 
 def g_create_extend_anchors_pair(g_hs: List[int], anchors1: List[int], anchors2: List[int],
@@ -423,18 +510,9 @@ def g_create_extend_anchors_pair(g_hs: List[int], anchors1: List[int], anchors2:
     """g_CreateExtendAnchorsPair_ (src/gap_util.cpp:1628)."""
     mask = (1 << (2 * shape_len + 33)) - 1
     g_hs.sort(key=lambda a: a & mask)
-    p1 = p2 = 0
-    for k in range(1, len(g_hs)):
-        xt = g_hs_xt((g_hs[k] ^ g_hs[k - 1]) & mask)
-        if xt == 0:
-            pass
-        elif xt == 1:
-            p2 = k
-        else:
-            g_map_hs_set_anchors(g_hs, anchors1, p1, p2, k, rvcp_const, 0, 0, gap_str1, gap_end1, 1, gp)
-            g_map_hs_set_anchors(g_hs, anchors2, p1, p2, k, rvcp_const, 0, 0, gap_str2, gap_end2, -1, gp)
-            p1 = k
-            p2 = k
+    triples = _group_triples(g_hs, mask)
+    _set_anchors_batch(g_hs, anchors1, triples, rvcp_const, 0, 0, gap_str1, gap_end1, 1, gp)
+    _set_anchors_batch(g_hs, anchors2, triples, rvcp_const, 0, 0, gap_str2, gap_end2, -1, gp)
 
 
 def c_create_anchors2(g_hs: List[int], g_anchors: List[int], g_hs_end: int,
