@@ -78,6 +78,17 @@ def run_filter(args) -> int:
     mapper.prepare()
     print(f"--Index created Elapsed time[s] {time.time() - t0:.2f}", file=sys.stderr)
 
+    # -b 1 (default): pipelined fetch/compute/print with a worker pool —
+    # the process3 analog (src/linear.cpp:67). -b 0: serial block loop.
+    pipeline = None
+    if args.bal_flag:
+        import os
+
+        from .parallel.pipeline import PipelineMapper
+
+        pipeline = PipelineMapper(
+            mapper, n_workers=max(1, min(args.thread, os.cpu_count() or 1)))
+
     from .out import bam as BAM
     from .out import bamlink as BL
 
@@ -94,12 +105,11 @@ def run_filter(args) -> int:
         if of_sam:
             of_sam.write(mapper.sam_header())
         t1 = time.time()
-        for block in seqio.read_blocks(rpath):
+
+        def emit(block, cs, ce, sam, bl):
+            nonlocal n_done
             if f_bam or f_pbsv:
-                cs, ce, sam, bl = mapper.map_block(block, collect_bam=True)
                 bam_lines.extend(bl)
-            else:
-                cs, ce, sam = mapper.map_block(block)
             if of_sam:
                 of_sam.write(sam)
             if of_apf:
@@ -108,6 +118,18 @@ def run_filter(args) -> int:
             el = time.time() - t1
             print(f"  Processed:{n_done}  time:{el:.2f}[s]  "
                   f"speed:{n_done / max(el, 1e-9):.2f}[reads/s]", file=sys.stderr)
+
+        if pipeline is not None:
+            for br in pipeline.run(rpath, collect_bam=bool(f_bam or f_pbsv)):
+                emit(br.block, br.cords_str, br.cords_end, br.sam, br.bam_lines)
+        else:
+            for block in seqio.read_blocks(rpath):
+                if f_bam or f_pbsv:
+                    cs, ce, sam, bl = mapper.map_block(block, collect_bam=True)
+                else:
+                    cs, ce, sam = mapper.map_block(block)
+                    bl = []
+                emit(block, cs, ce, sam, bl)
         for of in (of_sam, of_apf):
             if of:
                 of.close()
@@ -122,6 +144,8 @@ def run_filter(args) -> int:
         outs = [prefix + ext for ext, fl in
                 ((".apf", f_apf), (".sam", f_sam), (".bam", f_bam), ("_pbsv.bam", f_pbsv)) if fl]
         print("Result files: " + " ".join(outs), file=sys.stderr)
+    if pipeline is not None:
+        pipeline.close()
     print(f"Time in sum[s] {time.time() - t0:.2f}", file=sys.stderr)
     return 0
 

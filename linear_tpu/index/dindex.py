@@ -70,10 +70,11 @@ def sampled_minimizers(
     """All emitted (j, xval, yval, strand) for one genome, in scan order."""
     out_j, out_x, out_y, out_s = [], [], [], []
     stride = min_step + 1
+    polys = H.window_polys(seq, span) if len(seq) >= span else None
     for t_str, t_end in thread_blocks(len(seq), span, threads_emul):
         if t_end <= t_str:
             continue
-        sh = H.genome_stream_hashes(seq, t_str, t_end, span)
+        sh = H.genome_stream_hashes(seq, t_str, t_end, span, polys=polys)
         if not H.patch_n_neighborhoods(seq, sh, span, "genome"):
             continue
         # samples: count>min_step first at t_str+min_step, then every stride

@@ -55,6 +55,36 @@ class ChainsRecord:
     f_leaf: int = 0
 
 
+def chain_records_from_dp(p2, score, length, n: int) -> List["ChainsRecord"]:
+    """Rebuild the ChainsRecord list (incl. root_ptr / f_leaf) from a DP
+    table computed on device (ops.chain_dp) — same sequential bookkeeping
+    as get_best_chains below."""
+    recs = [ChainsRecord() for _ in range(n)]
+    if n == 0:
+        return recs
+    recs[0].score = 0
+    recs[0].length = 1
+    recs[0].p2anchor = -1
+    for i in range(n):
+        max_j = int(p2[i])
+        if max_j >= 0:
+            recs[i].p2anchor = max_j
+            recs[i].score = int(score[i])
+            recs[i].length = int(length[i])
+            recs[i].score2 = recs[i].score
+            recs[i].root_ptr = recs[max_j].root_ptr
+            recs[i].f_leaf = 1
+            recs[max_j].f_leaf = 0
+        else:
+            recs[i].p2anchor = -1
+            recs[i].score = 0
+            recs[i].length = 1
+            recs[i].score2 = 0
+            recs[i].root_ptr = i
+            recs[i].f_leaf = 1
+    return recs
+
+
 # ---------------------------------------------------------------- anchor DP
 
 

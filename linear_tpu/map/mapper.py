@@ -71,6 +71,10 @@ class Mapper:
         self.index: Optional[DI.DIndex] = None
         self._dev_index = None
 
+    # fixed device batch size: keeps the jitted kernel shapes constant
+    # across blocks (one compile per (B, pad) bucket, persistent-cached)
+    DEV_BATCH = 256
+
     def _device_seed_block(self, reads: "seqio.SeqSet"):
         """Batched device seeding for a read block (exact vs the host
         oracle); returns per-read anchor lists or None entries for reads the
@@ -81,25 +85,27 @@ class Mapper:
             self._dev_index = SD.upload_index(self.index)
         out: List = [None] * len(reads.seqs)
         eligible = [i for i, r in enumerate(reads.seqs)
-                    if THD_MIN_READ_LEN < len(r)]
-        if not eligible:
-            return out
-        pad = 1 << max(int(np.ceil(np.log2(max(len(reads.seqs[i]) for i in eligible)))), 10)
-        if pad > (1 << 17):
-            return out
-        batch = [reads.seqs[i] for i in eligible]
-        anchors = SD.seed_anchors_batch(batch, self._dev_index, pad_len=pad)
-        for i, a in zip(eligible, anchors):
-            out[i] = a
+                    if THD_MIN_READ_LEN < len(r) <= (1 << 17)]
+        for c0 in range(0, len(eligible), self.DEV_BATCH):
+            chunk = eligible[c0: c0 + self.DEV_BATCH]
+            pad = 1 << max(int(np.ceil(np.log2(max(len(reads.seqs[i]) for i in chunk)))), 10)
+            batch = [reads.seqs[i] for i in chunk]
+            if len(batch) < self.DEV_BATCH:
+                batch = batch + [np.zeros(1, dtype=np.uint8)] * (self.DEV_BATCH - len(batch))
+            anchors = SD.seed_anchors_batch(batch, self._dev_index, pad_len=pad)
+            for i, a in zip(chunk, anchors):
+                out[i] = a
         return out
 
-    def _device_chain_block(self, seeded: List):
+    def _device_chain_block(self, seeded: List, raw: bool = False):
         """Batched device chaining DP (ops.chain_dp) for the main apx pass.
 
         For each device-seeded read, replays the host pre-chain pipeline
         (filterAnchors + descending anchor-x sort, src/pmpfinder.cpp:2506,
         :2448) and runs the windowed getBestChains scan on device. Returns
-        per-read (sorted_anchors, ChainsRecord list) or None (host DP)."""
+        per-read (sorted_anchors, ChainsRecord list) or None (host DP);
+        with raw=True returns pickling-friendly (anchors, p2, score, length)
+        numpy tuples instead (for the process-pool pipeline)."""
         import jax.numpy as jnp
 
         from ..ops import chain_dp as CDP
@@ -125,22 +131,38 @@ class Mapper:
             return out
         N = max(len(a) for a in pre)
         N = max(1 << int(np.ceil(np.log2(N))), 64)
-        arr = np.zeros((len(pre), N), dtype=np.int64)
-        cnt = np.zeros((len(pre),), dtype=np.int32)
+        # fixed (DEV_BATCH, pow2-N) kernel shapes: one compile per bucket,
+        # bounded edge-tensor memory
+        n_pre = len(pre)
+        B = -(-n_pre // self.DEV_BATCH) * self.DEV_BATCH
+        arr = np.zeros((B, N), dtype=np.int64)
+        cnt = np.zeros((B,), dtype=np.int32)
         for r, a in enumerate(pre):
             arr[r, : len(a)] = a
             cnt[r] = len(a)
-        p2, score, length, overflow = CDP.batch_chain_dp_windowed(
-            jnp.asarray(arr), jnp.asarray(cnt), W=64, score_type=0)
-        p2 = np.asarray(p2)
-        score = np.asarray(score)
-        length = np.asarray(length)
-        overflow = np.asarray(overflow)
+        p2s, scores, lengths, overflows = [], [], [], []
+        for c0 in range(0, B, self.DEV_BATCH):
+            ccnt = cnt[c0: c0 + self.DEV_BATCH]
+            res = CDP.batch_chain_dp_windowed(
+                jnp.asarray(arr[c0: c0 + self.DEV_BATCH]),
+                jnp.asarray(ccnt), W=64, score_type=0)
+            # transfer only the used column prefix (tunneled d2h is slow)
+            m = max(int(ccnt.max()), 1)
+            p2s.append(np.asarray(res[0][:, :m]))
+            scores.append(np.asarray(res[1][:, :m]))
+            lengths.append(np.asarray(res[2][:, :m]))
+            overflows.append(np.asarray(res[3]))
+        overflow = np.concatenate(overflows)[:n_pre]
         for r, i in enumerate(idxs):
             if overflow[r]:
                 continue
-            recs = CDP.chain_records_from_dp(p2[r], score[r], length[r], int(cnt[r]))
-            out[i] = (pre[r], recs)
+            n = int(cnt[r])
+            ci, ri = divmod(r, self.DEV_BATCH)
+            p2r, scr, lnr = p2s[ci][ri], scores[ci][ri], lengths[ci][ri]
+            if raw:
+                out[i] = (pre[r], p2r[:n].copy(), scr[:n].copy(), lnr[:n].copy())
+            else:
+                out[i] = (pre[r], CDP.chain_records_from_dp(p2r, scr, lnr, n))
         return out
 
     def create_features(self) -> None:
@@ -205,22 +227,35 @@ class Mapper:
                 read, seed_anchors=seeded, chain_pre=chained)
             all_str.append(cords_str)
             all_end.append(cords_end)
-            records = BL.cords2bamlink(
-                cords_str, cords_end, len(read),
-                thd_large_X=8000, thd_DI=self.cfg.thd_DI, thd_X=self.cfg.thd_X,
-            )
-            if self.cfg.reform_ccs:
-                BL.reform_ccs_bams(records)
-            BL.fill_bam_records(records, self.genome_ids, rid)
-            if self.cfg.sequence_sam and records:
-                BL.synth_seq(records, self.genomes[records[0].rID], read,
-                             seqio.revcomp(read))
-            sam_parts.extend(line + "\n" for line in BL.sam_lines(records))
-            if collect_bam:
-                bam_lines.extend(BAM.records_to_bam_lines(records))
+            sam, bl = self.read_output(read, rid, cords_str, cords_end,
+                                       collect_bam=collect_bam)
+            sam_parts.append(sam)
+            bam_lines.extend(bl)
         if collect_bam:
             return all_str, all_end, "".join(sam_parts), bam_lines
         return all_str, all_end, "".join(sam_parts)
+
+    def read_output(self, read: np.ndarray, rid: str,
+                    cords_str: List[int], cords_end: List[int],
+                    collect_bam: bool = False):
+        """Output synthesis for one read: cords -> CIGAR* -> SAM text (and
+        optional binary BAM lines). Mirrors the print side of p_calRecords
+        (src/mapper.cpp:452-473, f_io.cpp)."""
+        from ..out import bam as BAM
+
+        records = BL.cords2bamlink(
+            cords_str, cords_end, len(read),
+            thd_large_X=8000, thd_DI=self.cfg.thd_DI, thd_X=self.cfg.thd_X,
+        )
+        if self.cfg.reform_ccs:
+            BL.reform_ccs_bams(records)
+        BL.fill_bam_records(records, self.genome_ids, rid)
+        if self.cfg.sequence_sam and records:
+            BL.synth_seq(records, self.genomes[records[0].rID], read,
+                         seqio.revcomp(read))
+        sam = "".join(line + "\n" for line in BL.sam_lines(records))
+        bam_lines = BAM.records_to_bam_lines(records) if collect_bam else []
+        return sam, bam_lines
 
     def sam_header(self) -> str:
         return BL.sam_header(

@@ -24,6 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.jaxcfg import configure as _jaxcfg
+_jaxcfg()
+
 NEG = jnp.int32(-(2 ** 31) + 1)
 
 MASK_Y = (1 << 20) - 1
@@ -126,35 +129,9 @@ def batch_chain_dp(anchors: jnp.ndarray, n_anchors: jnp.ndarray,
     return p2, score, length
 
 
-def chain_records_from_dp(p2: np.ndarray, score: np.ndarray, length: np.ndarray, n: int):
-    """Host: rebuild ChainsRecord list (incl. root_ptr / f_leaf) for one read
-    from the device DP table — same as the C++ sequential bookkeeping."""
-    from ..map.chaining import ChainsRecord
-
-    recs = [ChainsRecord() for _ in range(n)]
-    if n == 0:
-        return recs
-    recs[0].score = 0
-    recs[0].length = 1
-    recs[0].p2anchor = -1
-    for i in range(n):
-        max_j = int(p2[i])
-        if max_j >= 0:
-            recs[i].p2anchor = max_j
-            recs[i].score = int(score[i])
-            recs[i].length = int(length[i])
-            recs[i].score2 = recs[i].score
-            recs[i].root_ptr = recs[max_j].root_ptr
-            recs[i].f_leaf = 1
-            recs[max_j].f_leaf = 0
-        else:
-            recs[i].p2anchor = -1
-            recs[i].score = 0
-            recs[i].length = 1
-            recs[i].score2 = 0
-            recs[i].root_ptr = i
-            recs[i].f_leaf = 1
-    return recs
+# chain_records_from_dp lives in map.chaining (numpy-only) so pipeline
+# worker processes can rebuild ChainsRecords without importing jax
+from ..map.chaining import chain_records_from_dp  # noqa: F401  (re-export)
 
 
 @partial(jax.jit, static_argnames=("W", "thd_chain_depth", "thd_chain_dx_depth", "score_type"))

@@ -208,21 +208,29 @@ class StreamHashes:
     x: np.ndarray
 
 
-def genome_stream_hashes(seq: np.ndarray, t_str: int, t_end: int, span: int) -> StreamHashes:
+def genome_stream_hashes(seq: np.ndarray, t_str: int, t_end: int, span: int,
+                         polys: tuple | None = None) -> StreamHashes:
     """Hash states for the index-build stream: hashInit at t_str, calls at
     j in [t_str, t_end). Telescopes to pure window functions (window [j, j+span)).
 
     Exact for N-free windows; callers needing N-exactness patch with HashStream.
+    polys: optional precomputed (h_all, crh_all, ws) from window_polys() —
+    callers iterating thread chunks over one genome compute them once.
     """
     j = np.arange(t_str, t_end, dtype=np.int64)
     if len(j) == 0:
         return StreamHashes(j, np.zeros(0, U64), np.zeros(0, U64), np.zeros(0, np.int64))
-    h_all, crh_all = _window_poly_u64(seq, span)
-    ws = _window_sum(seq, span)
+    h_all, crh_all, ws = polys if polys is not None else window_polys(seq, span)
     h = h_all[j]
     crh = crh_all[j]
     x = 2 * ws[j] - 3 * span
     return StreamHashes(j, h, crh, x)
+
+
+def window_polys(seq: np.ndarray, span: int) -> tuple:
+    """(h_all, crh_all, window_sums) for every window start of seq."""
+    h_all, crh_all = _window_poly_u64(seq, span)
+    return h_all, crh_all, _window_sum(seq, span)
 
 
 def read_stream_hashes(

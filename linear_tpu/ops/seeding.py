@@ -28,6 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.jaxcfg import configure as _jaxcfg
+_jaxcfg()
+
 SPAN = 21
 WEIGHT = 13
 THD_ALPHA = 15
@@ -204,10 +207,28 @@ def batch_seed_anchors(seqs: jnp.ndarray, lens: jnp.ndarray,
     return anc.astype(jnp.int64), keep
 
 
+@partial(jax.jit, static_argnames=("m_out",))
+def _compact_anchors(anc: jnp.ndarray, keep: jnp.ndarray, m_out: int):
+    """Device stream compaction of (B, P, cap) kept anchors into (B, m_out)
+    in emission order (position-major, bucket-entry order) — avoids
+    shipping the huge padded tensor to the host. Returns (out, count);
+    count > m_out means overflow (caller falls back to host seeding)."""
+    B = anc.shape[0]
+    af = anc.reshape(B, -1)
+    kf = keep.reshape(B, -1)
+    pos = jnp.cumsum(kf.astype(jnp.int32), axis=1) - 1
+    idx = jnp.where(kf, pos, m_out)  # drop out-of-range scatters
+    out = jnp.zeros((B, m_out), dtype=anc.dtype)
+    out = jax.vmap(lambda o, i, a: o.at[i].set(a, mode="drop"))(out, idx, af)
+    count = jnp.sum(kf, axis=1).astype(jnp.int32)
+    return out, count
+
+
 def seed_anchors_batch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
-                       thd_alpha: int = THD_ALPHA) -> list:
+                       thd_alpha: int = THD_ALPHA, m_out: int = 8192) -> list:
     """Host wrapper: pad a list of reads, run the device kernel, and return
-    per-read anchor lists (ints) in the C++ emission order."""
+    per-read anchor lists (ints) in the C++ emission order. Entries are
+    None for reads whose anchors overflow m_out (host fallback)."""
     B = len(reads)
     seqs = np.zeros((B, pad_len), dtype=np.int32)
     lens = np.zeros((B,), dtype=np.int64)
@@ -215,26 +236,38 @@ def seed_anchors_batch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
         n = min(len(r), pad_len)
         seqs[i, :n] = r[:n]
         lens[i] = n
-    anc, keep = batch_seed_anchors(
+    kern = batch_seed_anchors if (seqs == 4).any() else batch_seed_anchors_fast
+    anc, keep = kern(
         jnp.asarray(seqs), jnp.asarray(lens),
         dindex_dev.dir_start, dindex_dev.hs_lo, dindex_dev.hs_hi,
         thd_alpha=thd_alpha, cap=dindex_dev.cap,
     )
-    anc = np.asarray(anc)
-    keep = np.asarray(keep)
+    comp, count = _compact_anchors(anc, keep, m_out)
+    # device->host bandwidth is the scarce resource (tunneled TPU): pull the
+    # counts first, slice the device buffer to the true max, then transfer
+    count = np.asarray(count)
+    m = int(min(max(int(count.max()), 1), m_out))
+    comp = np.asarray(comp[:, :m]).astype(np.uint64)
     out = []
     for i in range(B):
-        a = anc[i][keep[i]]
-        out.append([int(v) & ((1 << 64) - 1) for v in a])
+        if count[i] > m_out:
+            out.append(None)
+            continue
+        out.append(comp[i, : count[i]].tolist())
     return out
 
 
 # ------------------------------------------- closed-form fast path (no N)
 
 
-def _closed_form_states(seqs: jnp.ndarray, kmat: jnp.ndarray, span: int):
+def _closed_form_states(seqs: jnp.ndarray, kmat: jnp.ndarray, span: int,
+                        n_mix: int | None = None):
     """Hash states at sampled call positions WITHOUT the scan, exact for
     N-free reads with read_str=0 (the production case).
+
+    n_mix: static count of leading kmat columns that can be "mixed" calls
+    (k < 2*span - 1); the expensive masked-pack reconstruction only runs on
+    that slice (usually 1 column) instead of all P.
 
     Derivation: after hashInit at 0 the stream rolls from k=span; by call
     k >= 2*span - 1 the state telescopes to the pure window [k, k+span).
@@ -265,13 +298,16 @@ def _closed_form_states(seqs: jnp.ndarray, kmat: jnp.ndarray, span: int):
     bias = 2 * (jnp.sum(head[:, : span - 1], axis=1)
                 - jnp.sum(head[:, span: 2 * span - 1], axis=1))
     x = 2 * wsum - 3 * span + bias[:, None]
-    # mixed calls: c = k - span in [0, span - 1); window =
-    # (b[c+4-?]) — concretely h = (pack(b[c+1 .. span-1)) << 2(c+1)) +
-    # pack(b[2*span-1 .. 2*span+c]); converged for c >= span - 1... the
-    # exact split: after call k the kept init part is b[k-span+1+? ..]: the
-    # state keeps the last `span` appended symbols where appends are
-    # b[span-1+1=..]=init tail then b[2*span-1...]; reconstruct directly:
-    c = (kmat - span).astype(jnp.int64)                              # call ordinal
+    # mixed calls: c = k - span in [0, span - 1); the state keeps the last
+    # `span` appended symbols where appends are the init tail then
+    # b[2*span-1...]; reconstruct directly — but only on the leading n_mix
+    # columns that can be mixed (static slice; the rest are regular)
+    if n_mix is None:
+        n_mix = kmat.shape[1]
+    if n_mix == 0:
+        return h_reg, crh_reg, x
+    kmix = kmat[:, :n_mix]
+    c = (kmix - span).astype(jnp.int64)                              # call ordinal
     n_app = jnp.minimum(c + 1, span)                                 # appended count
     n_init = span - n_app                                            # init-tail bases kept
     # init pack P1 = pack(b[span-1-n_init .. span-1)) MSB-first
@@ -314,13 +350,13 @@ def _closed_form_states(seqs: jnp.ndarray, kmat: jnp.ndarray, span: int):
         return p
 
     crh_mix = pack_lsb_from_window(i_val, i_mask, a_val, a_mask)
-    # x mixed: x0 + sum over appends of 2*(new - left) where left replays
-    # the appended sequence lagged by span; equivalently x at call k equals
-    # 2*(sum of current window) - 3*span + bias with the DISCONTIGUOUS
-    # window — compute from the masked packs' base sums:
+    # x needs no mixed-case handling (bias algebra above); h/crh: splice the
+    # mixed leading columns over the regular closed form
     mixed = c < span - 1
-    h = jnp.where(mixed, h_mix, h_reg)
-    crh = jnp.where(mixed, crh_mix, crh_reg)
+    h = jnp.concatenate(
+        [jnp.where(mixed, h_mix, h_reg[:, :n_mix]), h_reg[:, n_mix:]], axis=1)
+    crh = jnp.concatenate(
+        [jnp.where(mixed, crh_mix, crh_reg[:, :n_mix]), crh_reg[:, n_mix:]], axis=1)
     return h, crh, x
 
 
@@ -338,7 +374,8 @@ def batch_seed_anchors_fast(seqs: jnp.ndarray, lens: jnp.ndarray,
     P = ks.shape[0]
     kmat = jnp.broadcast_to(ks[None, :], (B, P))
     in_range = kmat < (lens[:, None] - span)
-    hj, crhj, xj = _closed_form_states(seqs, kmat, span)
+    n_mix = int(np.sum(np.arange(first, L, thd_alpha) < 2 * span - 1))
+    hj, crhj, xj = _closed_form_states(seqs, kmat, span, n_mix=n_mix)
     xval, yval, strand = _minimizer_xy_batch(seqs, kmat, hj, crhj, xj, span, weight)
     prev = jnp.concatenate([jnp.zeros((B, 1), dtype=xval.dtype), xval[:, :-1]], axis=1)
     process = (xval != prev) & in_range

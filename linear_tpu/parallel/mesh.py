@@ -19,6 +19,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils.jaxcfg import configure as _jaxcfg
+_jaxcfg()
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.chain_dp import batch_chain_dp, batch_chain_dp_windowed, _anchor_x

@@ -1,0 +1,138 @@
+"""3-stage pipelined mapping — the TPU-native analog of the reference's
+parallel_io scheduler (src/parallel_io.cpp, process3 src/linear.cpp:67-95).
+
+Reference design: ring buffers + a global CAS lock hand out fetch / compute
+/ print roles to OpenMP threads (1 fetcher, 1 printer, N computers, in-order
+drain). Here the same three stages map onto the TPU host:
+
+  Stage F (feeder thread)   stream read blocks from disk, upload to the
+                            device, run the batched seed + chain-DP
+                            precomputes (JAX releases the GIL during device
+                            compute/transfer, so this overlaps stage C).
+  Stage C (process pool)    per-read host residual: window extension, gap
+                            resolution, cords->CIGAR SAM synthesis. Workers
+                            are forked AFTER the index/features are built and
+                            share them copy-on-write.
+  Stage P (main thread)     in-order drain and file emission (mirrors
+                            p_PrintResults ordering, src/parallel_io.cpp:522).
+
+The pool is created before the first device call so the forked children
+never hold a TPU client.
+"""
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..utils import seqio
+
+_WORKER_MAPPER = None  # set in children via fork
+
+
+def _init_worker(mapper):
+    global _WORKER_MAPPER
+    _WORKER_MAPPER = mapper
+
+
+def _map_one(task):
+    """Worker: full per-read residual -> (cords_str, cords_end, sam, bam)."""
+    read, rid, seeds, chain_raw, collect_bam = task
+    m = _WORKER_MAPPER
+    chain_pre = None
+    if chain_raw is not None:
+        from ..map.chaining import chain_records_from_dp
+
+        anchors, p2, score, length = chain_raw
+        chain_pre = (anchors, chain_records_from_dp(p2, score, length, len(anchors)))
+    cords_str, cords_end, cords_info = m.map_read(
+        read, seed_anchors=seeds, chain_pre=chain_pre)
+    sam, bam_lines = m.read_output(read, rid, cords_str, cords_end,
+                                   collect_bam=collect_bam)
+    return cords_str, cords_end, sam, bam_lines
+
+
+@dataclass
+class BlockResult:
+    block: "seqio.SeqSet"
+    cords_str: List[List[int]]
+    cords_end: List[List[int]]
+    sam: str
+    bam_lines: List
+
+
+class PipelineMapper:
+    """Drives Mapper over one read file with the 3-stage pipeline."""
+
+    def __init__(self, mapper, n_workers: Optional[int] = None, depth: int = 2):
+        self.mapper = mapper
+        self.n_workers = n_workers or max(os.cpu_count() or 1, 1)
+        self.depth = depth
+        # the children inherit the mapper copy-on-write, so it must be fully
+        # prepared (features + index) before the fork; prepare() is
+        # host-only, so the fork still happens before any device work and
+        # children never duplicate a TPU client
+        mapper.prepare()
+        ctx = mp.get_context("fork")
+        self.pool = ctx.Pool(self.n_workers, initializer=_init_worker,
+                             initargs=(mapper,))
+
+    def close(self) -> None:
+        self.pool.close()
+        self.pool.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def run(self, read_path: str, collect_bam: bool = False) -> Iterator[BlockResult]:
+        """Yields per-block results in input order."""
+        m = self.mapper
+        pool = self.pool
+        if True:
+            q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+
+            def feeder():
+                try:
+                    for block in seqio.read_blocks(read_path):
+                        if m.device == "tpu":
+                            seeds = m._device_seed_block(block)
+                            chain_raw = m._device_chain_block(seeds, raw=True)
+                        else:
+                            seeds = [None] * len(block.seqs)
+                            chain_raw = [None] * len(block.seqs)
+                        q.put((block, seeds, chain_raw))
+                    q.put(None)
+                except BaseException as e:  # surface in main thread
+                    q.put(e)
+
+            th = threading.Thread(target=feeder, daemon=True)
+            th.start()
+            pending = []  # [(block, AsyncResult-iterator)]
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                block, seeds, chain_raw = item
+                tasks = [
+                    (read, rid, s, c, collect_bam)
+                    for read, rid, s, c in zip(block.seqs, block.ids, seeds, chain_raw)
+                ]
+                results = pool.map(_map_one, tasks, chunksize=max(1, len(tasks) // (4 * self.n_workers)))
+                cs = [r[0] for r in results]
+                ce = [r[1] for r in results]
+                sam = "".join(r[2] for r in results)
+                bam: List = []
+                for r in results:
+                    bam.extend(r[3])
+                yield BlockResult(block, cs, ce, sam, bam)
+            th.join()
