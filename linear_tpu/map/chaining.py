@@ -137,6 +137,135 @@ def get_best_chains(
     return recs
 
 
+def tdiv_vec(a, b):
+    """C truncating division, numpy arrays."""
+    q = np.abs(a) // np.abs(b)
+    return np.where((a < 0) ^ (b < 0), -q, q)
+
+
+_MASK_Y = (1 << 20) - 1
+_MASK_X30 = (1 << 30) - 1
+_VALUE_MASK_DSTR = ((1 << 60) - 1) | (1 << 61)
+
+
+def anchor_x_vec(a: np.ndarray) -> np.ndarray:
+    """getAnchorX (src/cords.cpp:463), numpy int64."""
+    new = (a + ((a & _MASK_Y) << 20) - (1 << 40)) & _VALUE_MASK_DSTR
+    return (new >> 20) & _MASK_X30
+
+
+def get_apx_chain_score_vec(a1, a2, parms):
+    """Vectorized getApxChainScore (cluster_util.cpp:387)."""
+    dy = (a1 & _MASK_Y) - (a2 & _MASK_Y)
+    dx = anchor_x_vec(a1) - anchor_x_vec(a2)
+    da = np.abs(dx - dy)
+    denom = np.maximum(np.maximum(np.abs(dy), np.abs(dx)), 50)
+    derr = tdiv_vec(100 * da, denom)
+    score_derr = np.where(derr < 5, 4 * derr,
+                          np.where(derr < 10, 6 * derr - 10, derr * derr - 5 * derr))
+    dy15 = tdiv_vec(dy, 15)
+    score_dy = np.where(dy15 < 150, tdiv_vec(dy15, 5),
+                        np.where(dy15 < 10000, tdiv_vec(dy15 * dy15, 200) + 20, 10000))
+    score = np.where(da < 10, 100 - score_dy, 100 - score_dy - score_derr)
+    score = np.where(derr >= 100, -1000, score)
+    return np.where(dy < 10, -10000, score)
+
+
+def get_apx_chain_score0_vec(a1, a2, parms):
+    """Vectorized getApxChainScore0 (cluster_util.cpp:337)."""
+    dy = (a1 & _MASK_Y) - (a2 & _MASK_Y)
+    dx = anchor_x_vec(a1) - anchor_x_vec(a2)
+    da = np.abs(dx - dy)
+    denom = np.maximum(np.maximum(np.abs(dy), np.abs(dx)), 50)
+    derr = tdiv_vec(100 * da, denom)
+    score = np.where(da < 30, 100 - dy, 100 - dy - da)
+    score = np.where(derr >= 100, -1000, score)
+    return np.where(dy < 5, -10000, score)
+
+
+_EDGE_W_CAP = 512
+
+
+def get_best_chains_edges(
+    anchors: np.ndarray,
+    it_str: int,
+    it_end: int,
+    thd_chain_depth: int,
+    thd_chain_dx_depth: int,
+    vec_score,
+    parms: ChainScoreParms,
+    ax: np.ndarray,
+):
+    """Vectorized-edge getBestChains: precompute the banded (n, W) score
+    matrix with ONE numpy evaluation of the score function, then run the
+    exact sequential DP over it. Returns recs, or None when the band would
+    exceed _EDGE_W_CAP (caller falls back to the scalar path).
+
+    Requires anchors sorted descending by anchor-x (as all callers do) —
+    then the C++ scan's break-at-first-failure is a contiguous j range
+    (stop_j, i): ax[j] - ax[i] is non-decreasing as j decreases."""
+    n = len(anchors)
+    recs = [ChainsRecord() for _ in range(n)]
+    if n == 0:
+        return recs
+    a = np.asarray(anchors, dtype=np.int64)
+    axd = np.asarray(ax, dtype=np.int64)
+    ii = np.arange(n)
+    # q(i) = largest j with ax[j] >= ax[i] + dx_depth (or -1)
+    rev = axd[::-1]  # ascending
+    idx_rev = np.searchsorted(rev, axd + thd_chain_dx_depth, side="left")
+    q = n - 1 - idx_rev
+    stop_j = np.minimum(ii - thd_chain_depth - 1, q)
+    lo = np.maximum(stop_j + 1, 0)
+    W = int(np.max(ii - lo)) + 1 if n > 1 else 1
+    if W > _EDGE_W_CAP:
+        return None
+    # edge[i, w] = score(a[j], a[i]) with j = i - W + w, w in [0, W)
+    j_idx = ii[:, None] - (W - np.arange(W))[None, :]
+    jc = np.clip(j_idx, 0, n - 1)
+    edge = vec_score(a[jc], a[:, None], parms)
+    EDGE = edge.tolist()
+    LO = lo.tolist()
+    scores = [0] * n
+    lengths = [1] * n
+    p2s = [CHAIN_END] * n
+    recs[0].score = 0
+    recs[0].length = 1
+    recs[0].p2anchor = CHAIN_END
+    for i in range(it_str, it_end):
+        l = LO[i]
+        row = EDGE[i]
+        base = i - W
+        new_max = -1
+        max_j = i
+        for j in range(i - 1, l - 1, -1):
+            s = row[j - base]
+            if s > 0 and s + scores[j] >= new_max:
+                max_j = j
+                new_max = s + scores[j]
+        r = recs[i]
+        if new_max > 0:
+            r.p2anchor = max_j
+            r.score = new_max
+            r.length = lengths[max_j] + 1
+            r.score2 = new_max
+            r.root_ptr = recs[max_j].root_ptr
+            r.f_leaf = 1
+            recs[max_j].f_leaf = 0
+            scores[i] = new_max
+            lengths[i] = r.length
+        else:
+            r.p2anchor = CHAIN_END
+            r.score = 0
+            r.length = 1
+            r.score2 = 0
+            r.root_ptr = i
+            r.f_leaf = 1
+            scores[i] = 0
+            lengths[i] = 1
+    return recs
+
+
 def traceback_chains0(
     elements: list,
     recs: List[ChainsRecord],
@@ -323,17 +452,32 @@ def chain_anchors_base(
     parms: ChainScoreParms,
     get_anchor_x: Callable[[int], int],
     pre_recs: List[ChainsRecord] | None = None,
+    vec_score: Callable | None = None,
+    vec_anchor_x: Callable | None = None,
 ) -> Tuple[list, list]:
     """chainAnchorsBase (cluster_util.cpp:445). Returns (chains, scores):
     chains = list of anchor-value lists (leaf -> root order).
 
     pre_recs: DP table precomputed on device (ops.chain_dp) for these exact
-    anchors — skips the host getBestChains, traceback unchanged."""
+    anchors — skips the host getBestChains, traceback unchanged.
+    vec_score/vec_anchor_x: numpy implementations of the score / anchor-x
+    functions; when given, the DP edges are precomputed vectorized."""
     if len(anchors) < 2:
         return [], []
-    recs = pre_recs if pre_recs is not None else get_best_chains(
-        anchors, it_str, it_end, thd_chain_depth, thd_chain_dx_depth, get_score, parms, get_anchor_x
-    )
+    recs = pre_recs
+    if recs is None and vec_score is not None:
+        a64 = np.asarray(
+            [int(x) for x in (anchors.tolist() if hasattr(anchors, "tolist") else anchors)],
+            dtype=np.int64)
+        ax = vec_anchor_x(a64) if vec_anchor_x is not None else np.asarray(
+            [get_anchor_x(int(x)) for x in a64], dtype=np.int64)
+        recs = get_best_chains_edges(
+            a64, it_str, it_end, thd_chain_depth, thd_chain_dx_depth,
+            vec_score, parms, ax)
+    if recs is None:
+        recs = get_best_chains(
+            anchors, it_str, it_end, thd_chain_depth, thd_chain_dx_depth, get_score, parms, get_anchor_x
+        )
     elements = [int(a) for a in (anchors.tolist() if hasattr(anchors, "tolist") else anchors)]
     return traceback_chains(elements, recs, min_len, abort_score, thd_best_n, stop_ratio)
 

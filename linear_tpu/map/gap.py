@@ -626,6 +626,78 @@ def get_gap_blocks_chain_score3(c11: int, c12: int, c21: int, c22: int, read_len
     return 100 - score_da - score_dist
 
 
+# numpy (vectorized-edge) twins of the anchor chain scores; used by
+# chain_anchors_base(vec_score=...) to precompute DP edges in one pass
+
+def ganchor_x_vec(a: np.ndarray) -> np.ndarray:
+    return ((a >> G_HS_ANCHOR_BIT1) & G_HS_ANCHOR_MASK3) - G_HS_ANCHOR_ZERO + (a & G_HS_ANCHOR_MASK1)
+
+
+def get_gap_anchors_chain_score_vec(a1, a2, parms):
+    """Vectorized getGapAnchorsChainScore (src/gap_util.cpp:966)."""
+    y1 = a1 & G_HS_ANCHOR_MASK1
+    y2 = a2 & G_HS_ANCHOR_MASK1
+    dy = y1 - y2
+    dx = ganchor_x_vec(a1) - ganchor_x_vec(a2)
+    bad = (dy < 0) | ((((a1 ^ a2) >> G_HS_ANCHOR_BIT2) & 1) != 0) \
+        | ((np.abs(dx) < 8) & (dx != dy))
+    sa1 = ((a1 >> G_HS_ANCHOR_BIT1) & G_HS_ANCHOR_MASK5) - G_HS_ANCHOR_ZERO
+    sa2 = ((a2 >> G_HS_ANCHOR_BIT1) & G_HS_ANCHOR_MASK5) - G_HS_ANCHOR_ZERO
+    da = np.abs(sa2 - sa1)
+    derr = CH.tdiv_vec(100 * da, np.maximum(dy, 50))
+    score_derr = np.where(derr < 10, 0,
+                          np.where(derr < 15, 10 + 2 * derr,
+                                   CH.tdiv_vec(derr * derr, 10) + 40))
+    score_dy = np.where(dy < 100, CH.tdiv_vec(dy, 4),
+                        np.where(dy < 200, CH.tdiv_vec(dy, 3) - 9, dy - 145))
+    return np.where(bad, -10000, 100 - score_dy - score_derr)
+
+
+def get_gap_anchors_chain_score2_vec(a1, a2, parms):
+    """Vectorized getGapAnchorsChainScore2 (src/gap_util.cpp:1013)."""
+    dy = (a1 & G_HS_ANCHOR_MASK1) - (a2 & G_HS_ANCHOR_MASK1)
+    dx = ganchor_x_vec(a1) - ganchor_x_vec(a2)
+    bad = (dy < 0) | ((((a1 ^ a2) >> G_HS_ANCHOR_BIT2) & 1) != 0) \
+        | (((np.abs(dx) < 8) | (np.abs(dy) < 8)) & (dx != dy))
+    sa1 = ((a1 >> G_HS_ANCHOR_BIT1) & G_HS_ANCHOR_MASK5) - G_HS_ANCHOR_ZERO
+    sa2 = ((a2 >> G_HS_ANCHOR_BIT1) & G_HS_ANCHOR_MASK5) - G_HS_ANCHOR_ZERO
+    da = np.abs(sa2 - sa1)
+    derr = CH.tdiv_vec(100 * da, np.maximum(np.maximum(dx, dy), 50))
+    score_derr = np.where(derr < 5, 4 * derr,
+                          np.where(derr < 10, 6 * derr - 10, derr * derr - 5 * derr))
+    score_dy = CH.tdiv_vec(dy * (dy + 300), 300)
+    return np.where(bad, -10000, 100 - score_dy - score_derr)
+
+
+def get_extend_clip_score_vec(a1, a2, parms):
+    """Vectorized getExtendClipScore (src/gap_util.cpp:2126)."""
+    dy = (a1 & G_HS_ANCHOR_MASK1) - (a2 & G_HS_ANCHOR_MASK1)
+    dx = ganchor_x_vec(a1) - ganchor_x_vec(a2)
+    bad = (dy <= 0) | ((((a1 ^ a2) >> G_HS_ANCHOR_BIT2) & 1) != 0) \
+        | (((np.abs(dx) < 3) | (np.abs(dy) < 3)) & (dx != dy))
+    sa1 = ((a1 >> G_HS_ANCHOR_BIT1) & G_HS_ANCHOR_MASK5) - G_HS_ANCHOR_ZERO
+    sa2 = ((a2 >> G_HS_ANCHOR_BIT1) & G_HS_ANCHOR_MASK5) - G_HS_ANCHOR_ZERO
+    da = np.abs(sa2 - sa1)
+    score_da = np.where(da < 2, 30 + 5 * da,
+                        np.where(da < 5, 36 + 2 * da, 41 + da))
+    score_dy = CH.tdiv_vec(dy * (12 * dy + 650), 450)
+    return np.where(bad, -10000, 100 - score_dy - score_da)
+
+
+_SCORE_VECS = {}
+
+
+def _score_vec_for(fn):
+    """numpy twin of a scalar anchor score function (None if not known)."""
+    if not _SCORE_VECS:
+        _SCORE_VECS.update({
+            get_gap_anchors_chain_score: get_gap_anchors_chain_score_vec,
+            get_gap_anchors_chain_score2: get_gap_anchors_chain_score2_vec,
+            get_extend_clip_score: get_extend_clip_score_vec,
+        })
+    return _SCORE_VECS.get(fn)
+
+
 def get_extend_clip_score(a1: int, a2: int, parms) -> int:
     """getExtendClipScore (src/gap_util.cpp:2126)."""
     dy = ganchor_y(a1) - ganchor_y(a2)
@@ -839,6 +911,7 @@ def g_create_chains_from_anchors(anchors: List[int], tiles: List[int],
         min_len=gp.chn_score1.thd_min_chain_len, abort_score=gp.chn_score1.thd_abort_score,
         get_score=lambda a1, a2, p: gp.chn_score1.get_score(a1, a2, p),
         parms=CH.ChainScoreParms(), get_anchor_x=ganchor_x,
+        vec_score=_score_vec_for(gp.chn_score1.get_score), vec_anchor_x=ganchor_x_vec,
     )
     tiles.clear()
     for chain in chains:
@@ -1120,6 +1193,8 @@ def map_along_chain(seq1: np.ndarray, seq2: np.ndarray, chains: List[int], tiles
         abort_score=gp.chn_ext_clip_metric1.thd_abort_score,
         get_score=lambda a1, a2, p: gp.chn_ext_clip_metric1.get_score(a1, a2, p),
         parms=CH.ChainScoreParms(), get_anchor_x=ganchor_x,
+        vec_score=_score_vec_for(gp.chn_ext_clip_metric1.get_score),
+        vec_anchor_x=ganchor_x_vec,
     )
     if chains_out:
         f_strand = get_strand(chains[0])

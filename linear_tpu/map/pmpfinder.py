@@ -81,9 +81,38 @@ class Feats:
     def __init__(self, arr: np.ndarray):
         self.arr = arr
         self.rows: list = arr.tolist()
+        # zero-copy uint32 view for the vectorized window-distance kernels
+        self.u32 = np.ascontiguousarray(arr, dtype=np.int32).view(np.uint32)
 
     def __len__(self) -> int:
         return len(self.rows)
+
+
+_SHIFTS = np.array([24, 18, 12, 6, 0], dtype=np.uint32)
+_MXU31_U = np.uint32(MXU31)
+
+
+def _sdist_rows(a_u32: np.ndarray, b_u32: np.ndarray) -> np.ndarray:
+    """Vectorized _scriptDist63_31 over row pairs: a/b (..., 3) uint32 ->
+    (...,) int64 distances with the exact C++ packed-lane wrap semantics."""
+    d = a_u32 + _MXU31_U - b_u32                      # uint32 wrap == C++
+    lanes = (d[..., None] >> _SHIFTS) & np.uint32(63)
+    return np.abs(lanes.astype(np.int64) - 31).sum(axis=(-1, -2))
+
+
+def window_dist_batch(f1: "Feats", f2: "Feats", ys: np.ndarray, xs: np.ndarray,
+                      d: int, sentinel: int) -> np.ndarray:
+    """Batched window distance at (ys, xs) pairs: out-of-bounds (per the
+    C++ bound `idx + d >= len`) yield `sentinel`."""
+    n1, n2 = len(f1.rows), len(f2.rows)
+    if n1 < 4 or n2 < 4:
+        return np.full(np.shape(ys), sentinel, dtype=np.int64)
+    ok = (ys >= 0) & (xs >= 0) & (ys + d < n1) & (xs + d < n2)
+    yc = np.clip(ys, 0, n1 - 4)
+    xc = np.clip(xs, 0, n2 - 4)
+    a, b = f1.u32, f2.u32
+    dist = _sdist_rows(a[yc], b[xc]) + _sdist_rows(a[yc + 3], b[xc + 3])
+    return np.where(ok, dist, sentinel)
 
 
 def _sdist(s1, s2) -> int:
@@ -749,6 +778,9 @@ def chain_anchors_hits(anchors: List[int], hits: List[int], hits_score: List[int
         get_score=get_score, parms=CH.ChainScoreParms(),
         get_anchor_x=anchor_x,
         pre_recs=pre_recs,
+        vec_score=(CH.get_apx_chain_score_vec if pm.cah_score_type == 0
+                   else CH.get_apx_chain_score0_vec),
+        vec_anchor_x=CH.anchor_x_vec,
     )
     for chain in chains:
         for a in chain:
