@@ -182,6 +182,13 @@ class Mapper:
     def map_read(self, read: np.ndarray, seed_anchors=None, chain_pre=None):
         """Per-read body of p_calRecords. Returns (cords_str, cords_end,
         cords_info)."""
+        return PMP.run_serial(self.map_read_gen(
+            read, seed_anchors=seed_anchors, chain_pre=chain_pre))
+
+    def map_read_gen(self, read: np.ndarray, seed_anchors=None, chain_pre=None):
+        """Generator form of map_read: yields window-sweep requests (see
+        pmpfinder.run_serial / run_lockstep); the lockstep driver batches
+        the dense-extension sweeps of many reads into single numpy passes."""
         if len(read) <= THD_MIN_READ_LEN:
             return [], [], []
         rc = seqio.revcomp(read)
@@ -190,7 +197,7 @@ class Mapper:
             PMP.Feats(F.create_features_serial(rc)),
         ]
         pm = PMP.PMPParms(seed_anchors=seed_anchors, chain_pre=chain_pre)
-        cords_str, cords_end, apx_gaps, cords_info = PMP.apx_map(
+        cords_str, cords_end, apx_gaps, cords_info = yield from PMP.apx_map(
             self.index, read, f1, self.f2, f_chain=self.cfg.apx_chain_flag, pm=pm
         )
         if self.cfg.gap_len:
@@ -222,9 +229,13 @@ class Mapper:
         else:
             pre = [None] * len(reads.seqs)
             chain_pre = [None] * len(reads.seqs)
-        for (rid, read), seeded, chained in zip(zip(reads.ids, reads.seqs), pre, chain_pre):
-            cords_str, cords_end, cords_info = self.map_read(
-                read, seed_anchors=seeded, chain_pre=chained)
+        gens = [
+            self.map_read_gen(read, seed_anchors=seeded, chain_pre=chained)
+            for read, seeded, chained in zip(reads.seqs, pre, chain_pre)
+        ]
+        mapped = PMP.run_lockstep(gens)
+        for (rid, read), (cords_str, cords_end, cords_info) in zip(
+                zip(reads.ids, reads.seqs), mapped):
             all_str.append(cords_str)
             all_end.append(cords_end)
             sam, bl = self.read_output(read, rid, cords_str, cords_end,

@@ -152,9 +152,11 @@ def window_dist_c(f1: Feats, f2: Feats, a: int, b: int) -> int:
 
 # ------------------------------------------------- dense window extension
 
-def previous_window(f1: Feats, f2: Feats, cord: int) -> Tuple[int, int]:
-    """previousWindow (src/pmpfinder.cpp:883). Returns (new_cord, dist);
-    new_cord == 0 on failure. f1 = read-strand features, f2 = genome."""
+def previous_window(f1: Feats, f2: Feats, cord: int):
+    """previousWindow (src/pmpfinder.cpp:883). Generator: yields one sweep
+    request (f1, f2, y, x0) -> receives the 3 window distances; returns
+    (new_cord, dist); new_cord == 0 on failure. f1 = read-strand features,
+    f2 = genome. Drive with run_serial / run_lockstep."""
     gid = cid(cord)
     std = strand(cord)
     x_suf = cx(cord) >> CELL_BIT
@@ -162,13 +164,14 @@ def previous_window(f1: Feats, f2: Feats, cord: int) -> Tuple[int, int]:
     if y_suf < MED or x_suf < SUP:
         return 0, 0
     y = y_suf - MED
+    dists = yield (f1, f2, y, x_suf - SUP)
     dmin = (1 << 32) - 1
     x_min = 0
-    for x in range(x_suf - SUP, x_suf - INF):
-        tmp = window_dist_u(f1, f2, y, x)
+    for k in range(SUP - INF):
+        tmp = dists[k]
         if tmp < dmin:
             dmin = tmp
-            x_min = x
+            x_min = x_suf - SUP + k
     if dmin > WTHR:
         return 0, 0
     if x_suf - x_min > MED:
@@ -178,8 +181,8 @@ def previous_window(f1: Feats, f2: Feats, cord: int) -> Tuple[int, int]:
     return new_cord, dmin
 
 
-def next_window(f1: Feats, f2: Feats, cord: int) -> Tuple[int, int]:
-    """nextWindow (src/pmpfinder.cpp:1079)."""
+def next_window(f1: Feats, f2: Feats, cord: int):
+    """nextWindow (src/pmpfinder.cpp:1079). Generator (see previous_window)."""
     gid = cid(cord)
     std = strand(cord)
     x_pre = cx(cord) >> CELL_BIT
@@ -187,13 +190,14 @@ def next_window(f1: Feats, f2: Feats, cord: int) -> Tuple[int, int]:
     if y_pre + SUP * 2 > len(f1.rows) or x_pre + SUP * 2 > len(f2.rows):
         return 0, 0
     y = y_pre + MED
+    dists = yield (f1, f2, y, x_pre + INF)
     dmin = (1 << 32) - 1
     x_min = 0
-    for x in range(x_pre + INF, x_pre + SUP):
-        tmp = window_dist_u(f1, f2, y, x)
+    for k in range(SUP - INF):
+        tmp = dists[k]
         if tmp < dmin:
             dmin = tmp
-            x_min = x
+            x_min = x_pre + INF + k
     if dmin > WTHR:
         return 0, 0
     if x_min - x_pre > MED:
@@ -209,7 +213,7 @@ def extend_window(f1: Feats, f2: Feats, cords: List[int], cordy_str: int, cordy_
     cords_p_str = len(cords) - 1
     n_new = 0
     while True:
-        new_cord, _ = previous_window(f1, f2, cords[-1])
+        new_cord, _ = yield from previous_window(f1, f2, cords[-1])
         if new_cord == 0 or cy(new_cord) < cordy_str:
             break
         cords.append(new_cord)
@@ -219,7 +223,7 @@ def extend_window(f1: Feats, f2: Feats, cords: List[int], cordy_str: int, cordy_
         kk = len(cords) - k + cords_p_str - 1
         cords[k], cords[kk] = cords[kk], cords[k]
     while True:
-        new_cord, _ = next_window(f1, f2, cords[-1])
+        new_cord, _ = yield from next_window(f1, f2, cords[-1])
         if new_cord == 0 or cy(new_cord) + WINDOW >= cordy_end:
             break
         cords.append(new_cord)
@@ -263,7 +267,7 @@ def path_dst_1(
         cordy_end = read_len - read_str - 1 if std else read_end
         pre_cord_y = 0 if is_end(cords[-2]) else cy(cords[-2]) + 1
         cordy_str = max(pre_cord_y, cordy_str)
-        extend_window(f1[std], f2[gid], cords, cordy_str, cordy_end)
+        yield from extend_window(f1[std], f2[gid], cords, cordy_str, cordy_end)
         # nextCord (src/pmpfinder.cpp:1218)
         new_cord = 0
         f_new_block = 0
@@ -365,7 +369,7 @@ def path_dst_2(
             f_block_end = True
             cordy_end = ready_end
         if f_append:
-            extend_window(f1[strand(hits[itt])], f2[cid(hits[itt])], cords, cordy_str, cordy_end)
+            yield from extend_window(f1[strand(hits[itt])], f2[cid(hits[itt])], cords, cordy_str, cordy_end)
         if f_block_end:
             cords[-1] = set_end(cords[-1])
         itt_next = itt_first if f_block_end else itt_next
@@ -403,10 +407,10 @@ def path_dst(
     if len(hits) < 2:  # isHitsEmpty
         return
     if alg_type == 1:
-        path_dst_1(hits, f1, f2, cords, read_str, read_end, read_len)
+        yield from path_dst_1(hits, f1, f2, cords, read_str, read_end, read_len)
     elif alg_type == 2:
         filter_hits(hits, f1, f2)
-        path_dst_2(hits, f1, f2, cords, read_str, read_end, read_len)
+        yield from path_dst_2(hits, f1, f2, cords, read_str, read_end, read_len)
 
 
 # ----------------------------------------------------------- anchor filters
@@ -907,7 +911,7 @@ def apx_map_(
             n_block += 1
     for i in range(len(cords_info)):
         cords_info[i] = 100 - i
-    path_dst(hits, f1, f2, cords, read_str, read_end, len(read), alg_type)
+    yield from path_dst(hits, f1, f2, cords, read_str, read_end, len(read), alg_type)
 
 
 def apx_map(
@@ -937,7 +941,7 @@ def apx_map(
         alg_type = 2
         map_str = 0
         map_end = make_cord(MAX_CORD_ID, MAX_CORD_X, read_len, 0)
-        apx_map_(index, read, hits, f1, f2, cords_str, cords_info, map_str, map_end, alg_type, pm)
+        yield from apx_map_(index, read, hits, f1, f2, cords_str, cords_info, map_str, map_end, alg_type, pm)
         clean_blocks(cords_str, thd_drop_len, 50)
         str_ends, str_ends_p = gather_blocks(
             cords_str, 1, len(cords_str), read_len, thd_large_gap, thd_cord_size, True
@@ -949,7 +953,7 @@ def apx_map(
                 pm.toggle(1)
                 map_str = y1
                 map_end = make_cord(MAX_CORD_ID, MAX_CORD_X, y2, 0)
-                apx_map_(index, read, hits, f1, f2, cords_str, cords_info, map_str, map_end, alg_type, pm)
+                yield from apx_map_(index, read, hits, f1, f2, cords_str, cords_info, map_str, map_end, alg_type, pm)
                 pm.toggle(0)
             str_ends, str_ends_p = gather_blocks(
                 cords_str, 1, len(cords_str), read_len, thd_large_gap, thd_cord_size, True
@@ -961,11 +965,11 @@ def apx_map(
         alg_type = 1
         map_str = 0
         map_end = make_cord(MAX_CORD_ID, MAX_CORD_X, read_len, 0)
-        apx_map_(index, read, hits, f1, f2, cords_str, cords_info, map_str, map_end, alg_type, pm)
+        yield from apx_map_(index, read, hits, f1, f2, cords_str, cords_info, map_str, map_end, alg_type, pm)
         if get_max_len(cords_str) < read_len * sen_thr:
             cords_str.clear()
             pm.toggle(1)
-            apx_map_(index, read, hits, f1, f2, cords_str, cords_info, map_str, map_end, alg_type, pm)
+            yield from apx_map_(index, read, hits, f1, f2, cords_str, cords_info, map_str, map_end, alg_type, pm)
             pm.toggle(0)
         clean_blocks(cords_str, thd_drop_len)
     # Mark main/recd signs; cords_end = cords_str + (96, 96)
@@ -981,3 +985,104 @@ def apx_map(
             seg = 1 - seg
         cords_end[i] = (c + d) & M64
     return cords_str, cords_end, apx_gaps, cords_info
+
+
+# ------------------------------------------------- sweep-request drivers
+
+def _eval_sweep(req) -> list:
+    """Serial evaluator of one sweep request (the oracle path)."""
+    f1, f2, y, x0 = req
+    return [window_dist_u(f1, f2, y, x0 + k) for k in range(SUP - INF)]
+
+
+def run_serial(gen):
+    """Drive a sweep-request generator to completion, evaluating each
+    request immediately (exact scalar path)."""
+    try:
+        req = gen.send(None)
+        while True:
+            req = gen.send(_eval_sweep(req))
+    except StopIteration as e:
+        return e.value
+
+
+def run_lockstep(gens: list) -> list:
+    """Drive many sweep-request generators concurrently, evaluating each
+    round of requests in ONE batched numpy pass (bit-identical to the
+    serial evaluator). This is the wavefront form of the reference's
+    per-read dense extension (path_dst src/pmpfinder.cpp:1447): all reads
+    advance one window sweep per iteration."""
+    results = [None] * len(gens)
+    active = []
+    for i, g in enumerate(gens):
+        try:
+            active.append([i, g, g.send(None)])
+        except StopIteration as e:
+            results[i] = e.value
+    # feature registry: id(Feats) -> (row offset in the concat matrix, n_rows)
+    reg: dict = {}
+    parts: list = []
+    cat = None
+    n_cand = SUP - INF
+
+    total_rows = 0
+
+    def _register(f):
+        nonlocal cat, total_rows
+        ent = reg.get(id(f))
+        if ent is None:
+            ent = (total_rows, len(f.rows), f)
+            total_rows += len(f.rows)
+            reg[id(f)] = ent
+            parts.append(f.u32 if len(f.rows) else np.zeros((0, 3), np.uint32))
+            cat = None  # invalidate
+        return ent
+
+    while active:
+        m = len(active)
+        offs1 = np.empty(m, np.int64)
+        n1s = np.empty(m, np.int64)
+        ys = np.empty(m, np.int64)
+        x0s = np.empty(m, np.int64)
+        f2s = []
+        for k, a in enumerate(active):
+            f1, f2, y, x0 = a[2]
+            off, n1, _ = _register(f1)
+            offs1[k] = off
+            n1s[k] = n1
+            ys[k] = y
+            x0s[k] = x0
+            f2s.append(f2)
+        if cat is None:
+            cat = np.concatenate(parts + [np.zeros((8, 3), np.uint32)], axis=0)
+        ok_y = (ys >= 0) & (ys + 3 < n1s)
+        yc = offs1 + np.clip(ys, 0, np.maximum(n1s - 4, 0))
+        A1 = cat[yc]                                # (m, 3)
+        A2 = cat[yc + 3]
+        xs = x0s[:, None] + np.arange(n_cand)       # (m, C)
+        dist = np.empty((m, n_cand), dtype=np.int64)
+        groups: dict = {}
+        for k, f2 in enumerate(f2s):
+            groups.setdefault(id(f2), (f2, []))[1].append(k)
+        for f2, idxs in groups.values():
+            sel = np.asarray(idxs)
+            n2 = len(f2.rows)
+            gxs = xs[sel]
+            if n2 < 4:
+                dist[sel] = 1 << 30
+                continue
+            ok = ok_y[sel, None] & (gxs >= 0) & (gxs + 3 < n2)
+            xc = np.clip(gxs, 0, n2 - 4)
+            b = f2.u32
+            d = _sdist_rows(A1[sel][:, None, :], b[xc]) + _sdist_rows(A2[sel][:, None, :], b[xc + 3])
+            dist[sel] = np.where(ok, d, 1 << 30)
+        dl = dist.tolist()
+        nxt = []
+        for a, row in zip(active, dl):
+            try:
+                a[2] = a[1].send(row)
+                nxt.append(a)
+            except StopIteration as e:
+                results[a[0]] = e.value
+        active = nxt
+    return results

@@ -40,21 +40,28 @@ def _init_worker(mapper):
     _WORKER_MAPPER = mapper
 
 
-def _map_one(task):
-    """Worker: full per-read residual -> (cords_str, cords_end, sam, bam)."""
-    read, rid, seeds, chain_raw, collect_bam = task
-    m = _WORKER_MAPPER
-    chain_pre = None
-    if chain_raw is not None:
-        from ..map.chaining import chain_records_from_dp
+def _map_chunk(task):
+    """Worker: full residual for a CHUNK of reads (lockstep-batched window
+    sweeps across the chunk) -> list of (cords_str, cords_end, sam, bam)."""
+    from ..map.chaining import chain_records_from_dp
+    from ..map.pmpfinder import run_lockstep
 
-        anchors, p2, score, length = chain_raw
-        chain_pre = (anchors, chain_records_from_dp(p2, score, length, len(anchors)))
-    cords_str, cords_end, cords_info = m.map_read(
-        read, seed_anchors=seeds, chain_pre=chain_pre)
-    sam, bam_lines = m.read_output(read, rid, cords_str, cords_end,
-                                   collect_bam=collect_bam)
-    return cords_str, cords_end, sam, bam_lines
+    reads, rids, seeds, chain_raws, collect_bam = task
+    m = _WORKER_MAPPER
+    gens = []
+    for read, s, craw in zip(reads, seeds, chain_raws):
+        chain_pre = None
+        if craw is not None:
+            anchors, p2, score, length = craw
+            chain_pre = (anchors, chain_records_from_dp(p2, score, length, len(anchors)))
+        gens.append(m.map_read_gen(read, seed_anchors=s, chain_pre=chain_pre))
+    mapped = run_lockstep(gens)
+    out = []
+    for read, rid, (cords_str, cords_end, cords_info) in zip(reads, rids, mapped):
+        sam, bam_lines = m.read_output(read, rid, cords_str, cords_end,
+                                       collect_bam=collect_bam)
+        out.append((cords_str, cords_end, sam, bam_lines))
+    return out
 
 
 @dataclass
@@ -123,11 +130,15 @@ class PipelineMapper:
                 if isinstance(item, BaseException):
                     raise item
                 block, seeds, chain_raw = item
+                n = len(block.seqs)
+                csize = max(1, -(-n // (4 * self.n_workers)))
                 tasks = [
-                    (read, rid, s, c, collect_bam)
-                    for read, rid, s, c in zip(block.seqs, block.ids, seeds, chain_raw)
+                    (block.seqs[i: i + csize], block.ids[i: i + csize],
+                     seeds[i: i + csize], chain_raw[i: i + csize], collect_bam)
+                    for i in range(0, n, csize)
                 ]
-                results = pool.map(_map_one, tasks, chunksize=max(1, len(tasks) // (4 * self.n_workers)))
+                results = [r for chunk in pool.map(_map_chunk, tasks)
+                           for r in chunk]
                 cs = [r[0] for r in results]
                 ce = [r[1] for r in results]
                 sam = "".join(r[2] for r in results)
