@@ -152,6 +152,51 @@ def _minimizer_xy_batch(seqs: jnp.ndarray, j: jnp.ndarray, h: jnp.ndarray,
     return xval.astype(jnp.int64), yval, strand
 
 
+def _probe_and_anchor(kmat, lens, xval, yval, strand,
+                      dir_start, hs_lo, hs_hi, cap: int,
+                      in_range, x_base=None, x_hi=None):
+    """Shared index probe + val2Anchor tail of the seed kernels
+    (getDIndexMatchAll src/pmpfinder.cpp:1882-1911, val2Anchor
+    src/index_util.cpp:1509).
+
+    x_base/x_hi: when the k-mer table is SHARDED by xval range, dir_start /
+    hs arrays hold only [x_base, x_hi); out-of-range samples are masked so
+    a psum across shards reconstructs the replicated result exactly."""
+    B, P = kmat.shape
+    prev = jnp.concatenate([jnp.zeros((B, 1), dtype=xval.dtype), xval[:, :-1]], axis=1)
+    process = (xval != prev) & in_range
+    xl = xval
+    if x_base is not None:
+        process = process & (xval >= x_base) & (xval < x_hi)
+        xl = xval - x_base
+    # probe: bucket [dir[x], dir[x+1])
+    xc = jnp.clip(xl, 0, dir_start.shape[0] - 2)
+    lo = dir_start[xc]
+    hi = dir_start[xc + 1]
+    cnt = jnp.minimum(hi - lo, cap)
+    ent_idx = lo[:, :, None] + jnp.arange(cap)[None, None, :]          # (B, P, cap)
+    ent_valid = (jnp.arange(cap)[None, None, :] < cnt[:, :, None]) & process[:, :, None]
+    ent_idx = jnp.clip(ent_idx, 0, hs_lo.shape[0] - 1)
+    e_lo = hs_lo[ent_idx].astype(jnp.uint64)
+    e_hi = hs_hi[ent_idx].astype(jnp.uint64)
+    ent = (e_hi << jnp.uint64(32)) | e_lo                              # (B, P, cap) u64 cords
+    hs_y = (ent & jnp.uint64((1 << 20) - 1)).astype(jnp.int64)
+    val = hs_y ^ yval[:, :, None]
+    # (val >> ctz(val)) < 4  <=>  val < 4 * (val & -val); val==0 accepted
+    low = val & (-val)
+    y_ok = (val == 0) | (val < (low << 2))
+    keep = ent_valid & y_ok
+    # val2Anchor (src/index_util.cpp:1509)
+    ent_strand = ((ent >> jnp.uint64(61)) & jnp.uint64(1)).astype(jnp.int64)
+    same = ent_strand == strand[:, :, None]
+    cordy = jnp.where(same, kmat[:, :, None], lens[:, None, None] - 1 - kmat[:, :, None]).astype(jnp.uint64)
+    ent_y = ent & jnp.uint64((1 << 20) - 1)
+    anc = ent - (cordy << jnp.uint64(20)) + cordy - ent_y
+    flag_strand = jnp.uint64(1) << jnp.uint64(61)
+    anc = jnp.where(same, anc & ~flag_strand, anc | flag_strand)
+    return anc.astype(jnp.int64), keep
+
+
 @partial(jax.jit, static_argnames=("span", "weight", "thd_alpha", "cap"))
 def batch_seed_anchors(seqs: jnp.ndarray, lens: jnp.ndarray,
                        dir_start: jnp.ndarray, hs_lo: jnp.ndarray, hs_hi: jnp.ndarray,
@@ -177,34 +222,8 @@ def batch_seed_anchors(seqs: jnp.ndarray, lens: jnp.ndarray,
     xj = jnp.take_along_axis(x, koff, axis=1)
     xval, yval, strand = _minimizer_xy_batch(seqs, kmat.astype(jnp.int64), hj, crhj, xj, span, weight)
     # dedup: process iff xval != previous sampled xval (xpre init 0)
-    prev = jnp.concatenate([jnp.zeros((B, 1), dtype=xval.dtype), xval[:, :-1]], axis=1)
-    process = (xval != prev) & in_range
-    # probe: bucket [dir[x], dir[x+1])
-    xc = jnp.clip(xval, 0, dir_start.shape[0] - 2)
-    lo = dir_start[xc]
-    hi = dir_start[xc + 1]
-    cnt = jnp.minimum(hi - lo, cap)
-    ent_idx = lo[:, :, None] + jnp.arange(cap)[None, None, :]          # (B, P, cap)
-    ent_valid = (jnp.arange(cap)[None, None, :] < cnt[:, :, None]) & process[:, :, None]
-    ent_idx = jnp.clip(ent_idx, 0, hs_lo.shape[0] - 1)
-    e_lo = hs_lo[ent_idx].astype(jnp.uint64)
-    e_hi = hs_hi[ent_idx].astype(jnp.uint64)
-    ent = (e_hi << jnp.uint64(32)) | e_lo                              # (B, P, cap) u64 cords
-    hs_y = (ent & jnp.uint64((1 << 20) - 1)).astype(jnp.int64)
-    val = hs_y ^ yval[:, :, None]
-    # (val >> ctz(val)) < 4  <=>  val < 4 * (val & -val); val==0 accepted
-    low = val & (-val)
-    y_ok = (val == 0) | (val < (low << 2))
-    keep = ent_valid & y_ok
-    # val2Anchor (src/index_util.cpp:1509)
-    ent_strand = ((ent >> jnp.uint64(61)) & jnp.uint64(1)).astype(jnp.int64)
-    same = ent_strand == strand[:, :, None]
-    cordy = jnp.where(same, kmat[:, :, None], lens[:, None, None] - 1 - kmat[:, :, None]).astype(jnp.uint64)
-    ent_y = ent & jnp.uint64((1 << 20) - 1)
-    anc = ent - (cordy << jnp.uint64(20)) + cordy - ent_y
-    flag_strand = jnp.uint64(1) << jnp.uint64(61)
-    anc = jnp.where(same, anc & ~flag_strand, anc | flag_strand)
-    return anc.astype(jnp.int64), keep
+    return _probe_and_anchor(kmat.astype(jnp.int64), lens, xval, yval, strand,
+                             dir_start, hs_lo, hs_hi, cap, in_range)
 
 
 @partial(jax.jit, static_argnames=("m_out",))
@@ -377,28 +396,5 @@ def batch_seed_anchors_fast(seqs: jnp.ndarray, lens: jnp.ndarray,
     n_mix = int(np.sum(np.arange(first, L, thd_alpha) < 2 * span - 1))
     hj, crhj, xj = _closed_form_states(seqs, kmat, span, n_mix=n_mix)
     xval, yval, strand = _minimizer_xy_batch(seqs, kmat, hj, crhj, xj, span, weight)
-    prev = jnp.concatenate([jnp.zeros((B, 1), dtype=xval.dtype), xval[:, :-1]], axis=1)
-    process = (xval != prev) & in_range
-    xc = jnp.clip(xval, 0, dir_start.shape[0] - 2)
-    lo = dir_start[xc]
-    hi = dir_start[xc + 1]
-    cnt = jnp.minimum(hi - lo, cap)
-    ent_idx = lo[:, :, None] + jnp.arange(cap)[None, None, :]
-    ent_valid = (jnp.arange(cap)[None, None, :] < cnt[:, :, None]) & process[:, :, None]
-    ent_idx = jnp.clip(ent_idx, 0, hs_lo.shape[0] - 1)
-    e_lo = hs_lo[ent_idx].astype(jnp.uint64)
-    e_hi = hs_hi[ent_idx].astype(jnp.uint64)
-    ent = (e_hi << jnp.uint64(32)) | e_lo
-    hs_y = (ent & jnp.uint64((1 << 20) - 1)).astype(jnp.int64)
-    val = hs_y ^ yval[:, :, None]
-    low = val & (-val)
-    y_ok = (val == 0) | (val < (low << 2))
-    keep = ent_valid & y_ok
-    ent_strand = ((ent >> jnp.uint64(61)) & jnp.uint64(1)).astype(jnp.int64)
-    same = ent_strand == strand[:, :, None]
-    cordy = jnp.where(same, kmat[:, :, None], lens[:, None, None] - 1 - kmat[:, :, None]).astype(jnp.uint64)
-    ent_y = ent & jnp.uint64((1 << 20) - 1)
-    anc = ent - (cordy << jnp.uint64(20)) + cordy - ent_y
-    flag_strand = jnp.uint64(1) << jnp.uint64(61)
-    anc = jnp.where(same, anc & ~flag_strand, anc | flag_strand)
-    return anc.astype(jnp.int64), keep
+    return _probe_and_anchor(kmat.astype(jnp.int64), lens, xval, yval, strand,
+                             dir_start, hs_lo, hs_hi, cap, in_range)

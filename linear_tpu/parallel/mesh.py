@@ -59,6 +59,83 @@ def make_dp_mesh(devices=None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def shard_index_by_xval(index, n_shards: int):
+    """Split a host DIndex into n_shards contiguous-xval shards for the
+    >HBM-genome axis (SURVEY §2.3 "index sharding"): shard s holds
+    dir[x_lo..x_hi] rebased to 0 and the hs slice it points into, padded to
+    a common size. Returns (dir_sh, hs_lo_sh, hs_hi_sh, x_base, cap):
+    leading dim n_shards, ready for shard_map over an "ix" axis."""
+    n_x = index.dir.shape[0] - 1
+    bounds = [n_x * s // n_shards for s in range(n_shards + 1)]
+    dir_len = max(bounds[s + 1] - bounds[s] for s in range(n_shards)) + 1
+    hs_len = max(int(index.dir[bounds[s + 1]] - index.dir[bounds[s]])
+                 for s in range(n_shards))
+    hs_len = max(hs_len, 1)
+    dir_sh = np.zeros((n_shards, dir_len), dtype=np.int64)
+    lo_sh = np.zeros((n_shards, hs_len), dtype=np.uint32)
+    hi_sh = np.zeros((n_shards, hs_len), dtype=np.uint32)
+    x_base = np.zeros((n_shards, 2), dtype=np.int64)
+    hs = index.hs
+    for s in range(n_shards):
+        b0, b1 = bounds[s], bounds[s + 1]
+        d = index.dir[b0: b1 + 1] - index.dir[b0]
+        dir_sh[s, : len(d)] = d
+        dir_sh[s, len(d):] = d[-1]
+        sl = hs[index.dir[b0]: index.dir[b1]]
+        lo_sh[s, : len(sl)] = (sl & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi_sh[s, : len(sl)] = (sl >> np.uint64(32)).astype(np.uint32)
+        x_base[s] = (b0, b1)
+    counts = np.diff(index.dir)
+    cap = int(counts.max()) if len(hs) else 1
+    return dir_sh, lo_sh, hi_sh, x_base, cap
+
+
+def index_sharded_seed_step(mesh: Mesh, seqs, lens,
+                            dir_sh, hs_lo_sh, hs_hi_sh, x_base,
+                            cap: int, axis: str = "ix",
+                            span: int = 21, weight: int = 13,
+                            thd_alpha: int = 15):
+    """Seed anchors with the k-mer table SHARDED across the mesh axis and
+    the read batch replicated: every chip probes its xval range, then one
+    psum over ICI merges the per-shard candidates (each (pos, slot) is
+    owned by exactly one shard, so the sum reconstructs the replicated
+    kernel's output bit-for-bit). This is the >HBM-genome scaling axis."""
+    from functools import partial as _partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.seeding import _closed_form_states, _minimizer_xy_batch, _probe_and_anchor
+
+    B, L = seqs.shape
+
+    def shard_fn(seqs, lens, dir_s, lo_s, hi_s, xb):
+        dir_s, lo_s, hi_s, xb = dir_s[0], lo_s[0], hi_s[0], xb[0]
+        first = span + thd_alpha - 1
+        ks = jnp.arange(first, L, thd_alpha, dtype=jnp.int64)
+        kmat = jnp.broadcast_to(ks[None, :], (B, ks.shape[0]))
+        in_range = kmat < (lens[:, None] - span)
+        n_mix = int(np.sum(np.arange(first, L, thd_alpha) < 2 * span - 1))
+        h, crh, x = _closed_form_states(seqs, kmat, span, n_mix=n_mix)
+        xval, yval, strand = _minimizer_xy_batch(seqs, kmat, h, crh, x, span, weight)
+        anc, keep = _probe_and_anchor(kmat, lens, xval, yval, strand,
+                                      dir_s, lo_s, hi_s, cap, in_range,
+                                      x_base=xb[0], x_hi=xb[1])
+        anc = jax.lax.psum(jnp.where(keep, anc, 0), axis)
+        keep = jax.lax.psum(keep.astype(jnp.int32), axis) > 0
+        return anc, keep
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(P(), P()),
+    )
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(axis, None))
+    return fn(jax.device_put(seqs, rep), jax.device_put(lens, rep),
+              jax.device_put(dir_sh, shd), jax.device_put(hs_lo_sh, shd),
+              jax.device_put(hs_hi_sh, shd), jax.device_put(x_base, shd))
+
+
 def sharded_mapping_step(mesh: Mesh, seqs, lens, dir_start, hs_lo, hs_hi,
                          cap: int = 8, n_max: int = 256):
     """Run mapping_step with the read batch sharded over the mesh's dp axis
