@@ -54,9 +54,56 @@ def _open_maybe_gz(path: str) -> io.BufferedReader:
 def read_seq_records(path: str) -> Iterator[Tuple[str, np.ndarray]]:
     """Stream (id, codes) records from a fasta/fastq file, optionally gzipped.
 
-    The id is the first whitespace-delimited token of the header line,
-    matching how SeqAn's readRecord populates meta used by the reference.
+    Dispatches to the native C++ reader (linear_tpu.native.lt_seqio) when
+    the toolchain is available; the Python implementation below is the
+    byte-identical fallback/oracle.
     """
+    try:
+        from ..native import seqio_lib
+
+        lib = seqio_lib()
+    except Exception:
+        lib = None
+    if lib is not None:
+        yield from _read_seq_records_native(lib, path)
+        return
+    yield from _read_seq_records_py(path)
+
+
+def _read_seq_records_native(lib, path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    import ctypes
+
+    h = lib.lt_open(path.encode())
+    if not h:
+        raise FileNotFoundError(f"E[06]: can't open file {path}")
+    try:
+        pid = ctypes.c_char_p()
+        idl = ctypes.c_long()
+        pseq = ctypes.c_void_p()
+        seql = ctypes.c_long()
+        while True:
+            rc = lib.lt_next(h, ctypes.byref(pid), ctypes.byref(idl),
+                             ctypes.byref(pseq), ctypes.byref(seql))
+            if rc == 0:
+                return
+            if rc < 0:
+                err = lib.lt_err(h)
+                if err == 3:
+                    raise ValueError(f"malformed fastq in {path}")
+                raise ValueError(f"unrecognized sequence file format: {path}")
+            rid = ctypes.string_at(pid, idl.value).decode()
+            n = seql.value
+            if n:
+                codes = np.frombuffer(
+                    ctypes.string_at(pseq, n), dtype=np.uint8).copy()
+            else:
+                codes = np.zeros(0, dtype=np.uint8)
+            yield rid, codes
+    finally:
+        lib.lt_close(h)
+
+
+def _read_seq_records_py(path: str) -> Iterator[Tuple[str, np.ndarray]]:
     fh = _open_maybe_gz(path)
     try:
         first = fh.read(1)
