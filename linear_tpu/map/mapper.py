@@ -86,13 +86,18 @@ class Mapper:
         out: List = [None] * len(reads.seqs)
         eligible = [i for i, r in enumerate(reads.seqs)
                     if THD_MIN_READ_LEN < len(r) <= (1 << 17)]
+        # dispatch every chunk before the first sync: the device queue hides
+        # the per-call tunnel latency
+        pending = []
         for c0 in range(0, len(eligible), self.DEV_BATCH):
             chunk = eligible[c0: c0 + self.DEV_BATCH]
             pad = 1 << max(int(np.ceil(np.log2(max(len(reads.seqs[i]) for i in chunk)))), 10)
             batch = [reads.seqs[i] for i in chunk]
             if len(batch) < self.DEV_BATCH:
                 batch = batch + [np.zeros(1, dtype=np.uint8)] * (self.DEV_BATCH - len(batch))
-            anchors = SD.seed_anchors_batch(batch, self._dev_index, pad_len=pad)
+            pending.append((chunk, SD.seed_anchors_dispatch(batch, self._dev_index, pad_len=pad)))
+        for chunk, disp in pending:
+            anchors = SD.seed_anchors_collect(disp, len(chunk))
             for i, a in zip(chunk, anchors):
                 out[i] = a
         return out
@@ -141,17 +146,21 @@ class Mapper:
             arr[r, : len(a)] = a
             cnt[r] = len(a)
         p2s, scores, lengths, overflows = [], [], [], []
+        pending = []
         for c0 in range(0, B, self.DEV_BATCH):
             ccnt = cnt[c0: c0 + self.DEV_BATCH]
             res = CDP.batch_chain_dp_windowed(
                 jnp.asarray(arr[c0: c0 + self.DEV_BATCH]),
                 jnp.asarray(ccnt), W=64, score_type=0)
-            # transfer only the used column prefix (tunneled d2h is slow)
+            # slice to the used column prefix (tunneled d2h is slow) but
+            # defer the sync until every chunk is enqueued
             m = max(int(ccnt.max()), 1)
-            p2s.append(np.asarray(res[0][:, :m]))
-            scores.append(np.asarray(res[1][:, :m]))
-            lengths.append(np.asarray(res[2][:, :m]))
-            overflows.append(np.asarray(res[3]))
+            pending.append((res[0][:, :m], res[1][:, :m], res[2][:, :m], res[3]))
+        for rp2, rsc, rln, rov in pending:
+            p2s.append(np.asarray(rp2))
+            scores.append(np.asarray(rsc))
+            lengths.append(np.asarray(rln))
+            overflows.append(np.asarray(rov))
         overflow = np.concatenate(overflows)[:n_pre]
         for r, i in enumerate(idxs):
             if overflow[r]:

@@ -243,11 +243,11 @@ def _compact_anchors(anc: jnp.ndarray, keep: jnp.ndarray, m_out: int):
     return out, count
 
 
-def seed_anchors_batch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
-                       thd_alpha: int = THD_ALPHA, m_out: int = 8192) -> list:
-    """Host wrapper: pad a list of reads, run the device kernel, and return
-    per-read anchor lists (ints) in the C++ emission order. Entries are
-    None for reads whose anchors overflow m_out (host fallback)."""
+def seed_anchors_dispatch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
+                          thd_alpha: int = THD_ALPHA, m_out: int = 8192):
+    """Async phase of seed_anchors_batch: enqueue the device work and
+    return (comp, count, m_out) device arrays without synchronizing —
+    callers dispatch many chunks back-to-back then collect."""
     B = len(reads)
     seqs = np.zeros((B, pad_len), dtype=np.int32)
     lens = np.zeros((B,), dtype=np.int64)
@@ -262,18 +262,34 @@ def seed_anchors_batch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
         thd_alpha=thd_alpha, cap=dindex_dev.cap,
     )
     comp, count = _compact_anchors(anc, keep, m_out)
+    return comp, count, m_out
+
+
+def seed_anchors_collect(dispatched, n_reads: int) -> list:
+    """Sync phase: per-read anchor lists (ints) in the C++ emission order;
+    None entries for reads overflowing m_out (host fallback)."""
+    comp, count, m_out = dispatched
     # device->host bandwidth is the scarce resource (tunneled TPU): pull the
     # counts first, slice the device buffer to the true max, then transfer
     count = np.asarray(count)
     m = int(min(max(int(count.max()), 1), m_out))
     comp = np.asarray(comp[:, :m]).astype(np.uint64)
     out = []
-    for i in range(B):
+    for i in range(n_reads):
         if count[i] > m_out:
             out.append(None)
             continue
         out.append(comp[i, : count[i]].tolist())
     return out
+
+
+def seed_anchors_batch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
+                       thd_alpha: int = THD_ALPHA, m_out: int = 8192) -> list:
+    """Pad a list of reads, run the device kernel, and return per-read
+    anchor lists (ints) in the C++ emission order."""
+    return seed_anchors_collect(
+        seed_anchors_dispatch(reads, dindex_dev, pad_len, thd_alpha, m_out),
+        len(reads))
 
 
 # ------------------------------------------- closed-form fast path (no N)
