@@ -122,7 +122,9 @@ def main():
     pipe = PipelineMapper(mapper)
     t_prep = time.time() - t0
 
-    # warm-up: compile the device kernels on a separate small file
+    # warm-up: compile the device kernels (one-time per machine, persistent
+    # XLA cache) and run a separate small file through the pipeline
+    mapper.warmup()
     for _ in pipe.run(w_fa):
         pass
 

@@ -188,6 +188,28 @@ class Mapper:
         if self.index is None:
             self.create_index()
 
+    def warmup(self, pad: int = 8192, n_buckets=(64, 128, 256, 512, 1024)) -> None:
+        """Compile the device kernels for the fixed batch shapes (one-time
+        per machine; results live in the persistent XLA cache). Covers the
+        seed kernel at (DEV_BATCH, pad) and the chain DP at every pow2-N
+        bucket so no compile lands inside a timed mapping run."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import chain_dp as CDP
+        from ..ops import seeding as SD
+
+        if self._dev_index is None:
+            self._dev_index = SD.upload_index(self.index)
+        batch = [np.zeros(pad, dtype=np.uint8)] * self.DEV_BATCH
+        SD.seed_anchors_batch(batch, self._dev_index, pad_len=pad)
+        cnt = jnp.zeros((self.DEV_BATCH,), dtype=jnp.int32)
+        outs = []
+        for n in n_buckets:
+            arr = jnp.zeros((self.DEV_BATCH, n), dtype=jnp.int64)
+            outs.append(CDP.batch_chain_dp_windowed(arr, cnt, W=64, score_type=0))
+        jax.block_until_ready(outs)
+
     def map_read(self, read: np.ndarray, seed_anchors=None, chain_pre=None):
         """Per-read body of p_calRecords. Returns (cords_str, cords_end,
         cords_info)."""
