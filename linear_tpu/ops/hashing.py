@@ -135,21 +135,45 @@ class HashStream:
 
 def _window_poly_u64(seq: np.ndarray, span: int) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized forward/revcomp polynomial hashes for every window start
-    j in [0, len(seq)-span]. Exact for N-free windows."""
+    j in [0, len(seq)-span]. Exact for N-free windows.
+
+    Logarithmic doubling: h_{a+b}[j] = (h_a[j] << 2b) + h_b[j+a] and
+    crh_{a+b}[j] = crh_a[j] + (crh_b[j+a] << 2a) — O(log span) full-array
+    passes instead of O(span). Base values <= 4 keep every partial sum far
+    below 2^64, so the reassociation is exact (wrap-free)."""
     b = seq.astype(np.uint64)
     n = len(seq) - span + 1
     if n <= 0:
         return np.zeros(0, U64), np.zeros(0, U64)
-    h = np.zeros(n, dtype=U64)
-    crh = np.zeros(n, dtype=U64)
     three = np.uint64(3)
-    for i in range(span):
-        coef_f = U64(1) << U64(2 * (span - 1 - i))
-        coef_r = U64(1) << U64(2 * i)
-        bi = b[i : i + n]
-        h += bi * coef_f
-        crh += (three - bi) * coef_r  # wraps for N, same as C++ uint64
-    return h, crh
+    # powers-of-two building blocks, largest first
+    h_k = {1: b}
+    crh_k = {1: (three - b)}  # wraps for N, same as C++ uint64
+    k = 1
+    while 2 * k <= span:
+        hk, ck = h_k[k], crh_k[k]
+        m = len(hk) - k
+        h_k[2 * k] = (hk[:m] << U64(2 * k)) + hk[k:]
+        crh_k[2 * k] = ck[:m] + (ck[k:] << U64(2 * k))
+        k *= 2
+    # compose span from its binary decomposition, MSB block first
+    h = None
+    crh = None
+    done = 0
+    for bit in range(k.bit_length() - 1, -1, -1):
+        blk = 1 << bit
+        if not (span & blk):
+            continue
+        hb = h_k[blk]
+        cb = crh_k[blk]
+        if h is None:
+            h, crh = hb, cb
+        else:
+            m = min(len(h), len(hb) - done)
+            h = (h[:m] << U64(2 * blk)) + hb[done: done + m]
+            crh = crh[:m] + (cb[done: done + m] << U64(2 * done))
+        done += blk
+    return h[:n], crh[:n]
 
 
 def _window_sum(seq: np.ndarray, span: int) -> np.ndarray:
