@@ -50,9 +50,12 @@ class DeviceIndex(NamedTuple):
 
 def upload_index(index) -> DeviceIndex:
     """Host DIndex -> device arrays. cap = max bucket size (buckets larger
-    than thd_omit_block were already dropped at build)."""
+    than thd_omit_block were already dropped at build), rounded up to a
+    power of two so kernels compiled for one index (cap is a static arg)
+    are reused across thread counts / genomes."""
     counts = np.diff(index.dir)
     cap = int(counts.max()) if len(index.hs) else 1
+    cap = max(-(-cap // 32) * 32, 32)
     return DeviceIndex(
         dir_start=jnp.asarray(index.dir, dtype=jnp.int64),
         hs_lo=jnp.asarray((index.hs & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
