@@ -48,14 +48,19 @@ class DeviceIndex(NamedTuple):
     cap: int                # max entries per bucket (<= thd_omit_block)
 
 
+def bucket_cap(cap: int) -> int:
+    """Round a per-bucket entry cap up to a multiple of 32 so kernels
+    compiled for one index (cap is a static arg) are reused across thread
+    counts / genomes; extra slots are masked by the per-bucket count."""
+    return max(-(-cap // 32) * 32, 32)
+
+
 def upload_index(index) -> DeviceIndex:
     """Host DIndex -> device arrays. cap = max bucket size (buckets larger
-    than thd_omit_block were already dropped at build), rounded up to a
-    power of two so kernels compiled for one index (cap is a static arg)
-    are reused across thread counts / genomes."""
+    than thd_omit_block were already dropped at build), bucketed by
+    bucket_cap for kernel-compile reuse."""
     counts = np.diff(index.dir)
-    cap = int(counts.max()) if len(index.hs) else 1
-    cap = max(-(-cap // 32) * 32, 32)
+    cap = bucket_cap(int(counts.max()) if len(index.hs) else 1)
     return DeviceIndex(
         dir_start=jnp.asarray(index.dir, dtype=jnp.int64),
         hs_lo=jnp.asarray((index.hs & np.uint64(0xFFFFFFFF)).astype(np.uint32)),

@@ -85,8 +85,10 @@ def shard_index_by_xval(index, n_shards: int):
         lo_sh[s, : len(sl)] = (sl & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         hi_sh[s, : len(sl)] = (sl >> np.uint64(32)).astype(np.uint32)
         x_base[s] = (b0, b1)
+    from ..ops.seeding import bucket_cap
+
     counts = np.diff(index.dir)
-    cap = int(counts.max()) if len(hs) else 1
+    cap = bucket_cap(int(counts.max()) if len(hs) else 1)
     return dir_sh, lo_sh, hi_sh, x_base, cap
 
 
