@@ -1,0 +1,51 @@
+"""PipelineMapper (feeder thread + worker pool + ordered drain) must emit
+exactly what the serial block loop emits, in the same order."""
+import numpy as np
+import pytest
+
+from linear_tpu.map.mapper import Mapper, MapperConfig
+from linear_tpu.utils import seqio
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe")
+    rng = np.random.default_rng(21)
+    genome = rng.integers(0, 4, 60000).astype(np.uint8)
+    g_fa = str(d / "g.fa")
+    seqio.write_fasta(g_fa, ["chr1 test"], [genome])
+    reads = []
+    for i in range(24):
+        pos = int(rng.integers(0, 55000))
+        r = genome[pos: pos + 2500].copy()
+        sub = rng.random(len(r)) < 0.05
+        r[sub] = (r[sub] + 1) % 4
+        if i % 3 == 2:
+            r = seqio.revcomp(r)
+        reads.append(r)
+    r_fa = str(d / "r.fa")
+    seqio.write_fasta(r_fa, [f"read{i}" for i in range(len(reads))], reads)
+    return g_fa, r_fa
+
+
+def test_pipeline_matches_serial(world):
+    from linear_tpu.parallel.pipeline import PipelineMapper
+
+    g_fa, r_fa = world
+    m = Mapper([g_fa], MapperConfig(threads=4))
+    m.prepare()
+    serial_sam = []
+    serial_cs = []
+    for block in seqio.read_blocks(r_fa):
+        cs, ce, sam = m.map_block(block)
+        serial_sam.append(sam)
+        serial_cs.extend(cs)
+    pipe = PipelineMapper(m, n_workers=2)
+    pipe_sam = []
+    pipe_cs = []
+    for br in pipe.run(r_fa):
+        pipe_sam.append(br.sam)
+        pipe_cs.extend(br.cords_str)
+    pipe.close()
+    assert "".join(pipe_sam) == "".join(serial_sam)
+    assert pipe_cs == serial_cs
