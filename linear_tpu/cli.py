@@ -70,6 +70,7 @@ def run_filter(args) -> int:
         sequence_sam=args.sequence_sam,
         reform_ccs=args.reform_ccs_cigar_flag,
         f_dup=args.duplication,
+        bal_flag=args.bal_flag,
     )
     t0 = time.time()
     mapper = Mapper(genome_paths, cfg, device=args.device)

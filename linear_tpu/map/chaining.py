@@ -25,6 +25,8 @@ import numpy as np
 
 from ..utils import cordlib as C
 from ..utils import cordscalar as CS
+from ..utils import cxxsort as CXS
+from ..utils.dbg import dbg as _dbg
 
 INT_MIN = -(2**31)
 CHAIN_END = -1
@@ -348,7 +350,8 @@ def traceback_chains1(
                     found = True
             if not found:
                 leaves.append([r.root_ptr, r.score, r.length, j])
-    ranks = sorted(range(len(leaves)), key=lambda i: -leaves[i][1])
+    # std::sort desc by tree best score (cluster_util.cpp:269)
+    ranks = [int(i) for i in CXS.std_sort_perm([lv[1] for lv in leaves], desc=True)]
     for i in range(min(bestn, len(ranks))):
         chain: list = []
         chain_score: list = []
@@ -555,16 +558,20 @@ def chain_blocks_base(
         return []
     order = list(range(len(str_ends_p)))
     if f_sort:
-        # key is the 40-bit (id | x) field: _DefaultCord.getCordX, desc
-        order.sort(
-            key=lambda a: -int(
-                (np.uint64(records[str_ends_p[a][0]]) >> np.uint64(20))
-                & np.uint64((1 << 40) - 1)
-            )
-        )
+        # std::sort desc by the 40-bit (id | x) field (_DefaultCord.getCordX,
+        # cluster_util.cpp:558); tie permutation must match the reference
+        keys = [
+            int((np.uint64(records[str_ends_p[a][0]]) >> np.uint64(20))
+                & np.uint64((1 << 40) - 1))
+            for a in order
+        ]
+        order = [int(i) for i in CXS.std_sort_perm(keys, desc=True)]
     sp = [str_ends_p[i] for i in order]
     sc = [scores[i] for i in order]
+    _dbg("CBBO", [int(records[p[0]]) for p in sp])
     recs = get_best_chains2(records, sp, sc, read_len, get_score2, parms)
+    _dbg("GBC2", [v for r in recs for v in
+                  (r.score, r.p2anchor, r.length, r.root_ptr, r.f_leaf)])
     chains, _ = traceback_chains(sp, recs, min_len, abort_score, thd_best_n, stop_ratio)
     return chains
 
@@ -727,7 +734,8 @@ def chain_blocks_single_strand(
             return read_len - 1 - int(C.cord_y(np.uint64(cords[second - 1])))
         return int(C.cord_y(np.uint64(cords[first])))
 
-    sp = sorted(str_ends_p, key=lambda p: -key(p))
+    # std::sort desc by strand-adjusted y (cluster_util.cpp:945/956)
+    sp = CXS.std_sort(str_ends_p, [key(p) for p in str_ends_p], desc=True)
     scores = [(p[1] - p[0]) * thd_init_cord_score for p in sp]
     chains = chain_blocks_base(
         cords, sp, scores, read_len, get_score2, parms, min_len, abort_score,
@@ -943,4 +951,6 @@ def chain_blocks_hits(
         get_apx_chain_score2, parms,
         min_len=1, abort_score=0, thd_best_n=3, f_sort=True, stop_ratio=0.7,
     )
+    _dbg("CHNS", [len(c) for c in chains])
+    _dbg("CHNC", [v for c in chains for p_ in c for v in p_])
     return filter_blocks_hits(chains, hits, read_len)

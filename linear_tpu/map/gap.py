@@ -46,6 +46,7 @@ from ..utils.cordscalar import (
     set_end as cord_set_end, unset_end as cord_unset_end, shift, make_cord,
     is_consecutive,
 )
+from ..utils import cxxsort as CXS
 from . import chaining as CH
 from . import pmpfinder as PMP
 
@@ -229,6 +230,13 @@ G_HS_ANCHOR_MASK2 = ~(1 << 50) & M64
 G_HS_ANCHOR_ZERO = 1 << 20
 G_HS_MASK2 = (1 << 30) - 1
 G_HS_MASK3 = (1 << 32) - 1
+
+
+def _i32(v: int) -> int:
+    """C++ int32 wrap (the reference stores gap scores in String<int> and
+    sums them in int; long repeat chains overflow and the clip decisions
+    depend on the wrapped values)."""
+    return ((v + 0x80000000) & 0xFFFFFFFF) - 0x80000000
 
 
 def g_hs_make(xval: int, typ: int, std: int, coord: int) -> int:
@@ -497,7 +505,8 @@ def g_create_anchors(g_hs: List[int], g_anchor: List[int], shape_len: int, direc
                      gap_str: int, gap_end: int, gp: GapParms) -> None:
     """g_create_anchors_ (src/gap_util.cpp:1596)."""
     mask = (1 << (2 * shape_len + 33)) - 1
-    g_hs.sort(key=lambda a: a & mask)
+    # std::sort asc by (a & mask) (src/gap_util.cpp:1608)
+    g_hs[:] = CXS.std_sort(g_hs, [a & mask for a in g_hs])
     triples = _group_triples(g_hs, mask)
     _set_anchors_batch(g_hs, g_anchor, triples, rvcp_const,
                        anchor_lower, anchor_upper, gap_str, gap_end, direction, gp)
@@ -509,7 +518,8 @@ def g_create_extend_anchors_pair(g_hs: List[int], anchors1: List[int], anchors2:
                                  gp: GapParms) -> None:
     """g_CreateExtendAnchorsPair_ (src/gap_util.cpp:1628)."""
     mask = (1 << (2 * shape_len + 33)) - 1
-    g_hs.sort(key=lambda a: a & mask)
+    # std::sort asc by (a & mask) (src/gap_util.cpp:1640)
+    g_hs[:] = CXS.std_sort(g_hs, [a & mask for a in g_hs])
     triples = _group_triples(g_hs, mask)
     _set_anchors_batch(g_hs, anchors1, triples, rvcp_const, 0, 0, gap_str1, gap_end1, 1, gp)
     _set_anchors_batch(g_hs, anchors2, triples, rvcp_const, 0, 0, gap_str2, gap_end2, -1, gp)
@@ -762,8 +772,11 @@ def accumulate_simple_gap_score1(chain: List[int], shape_len: int, get_x: Callab
     pre_x = get_x(chain[0])
     for i in range(1, len(chain)):
         x_i = get_x(chain[i])
-        new_gap = x_i - pre_x - shape_len if x_i - pre_x > shape_len else 0
-        scores[i] = scores[i - 1] + new_gap * gp.int_precision
+        # C++: int new_gap = int(x_i - pre_x) > shape_len ? ... (uint64 diff
+        # truncated to int32 in the comparison, int32 accumulation wrap)
+        d32 = _i32((x_i - pre_x) & M64)
+        new_gap = _i32((x_i - pre_x - shape_len) & M64) if d32 > shape_len else 0
+        scores[i] = _i32(scores[i - 1] + _i32(new_gap * gp.int_precision))
         pre_x = x_i
     return scores
 
@@ -782,14 +795,14 @@ def clip_chain_(chain: List[int], gsx: List[int], gsy: List[int], direction: int
         i_end = min(i + w, len(chain) - 1)
         d1 = i - i_str
         d2 = i_end - i
-        cx1 = tdiv(gsx[i] - gsx[i_str], d1)
-        cx2 = tdiv(gsx[i_end] - gsx[i], d2)
-        cy1 = tdiv(gsy[i] - gsy[i_str], d1)
-        cy2 = tdiv(gsy[i_end] - gsy[i], d2)
+        cx1 = tdiv(_i32(gsx[i] - gsx[i_str]), d1)
+        cx2 = tdiv(_i32(gsx[i_end] - gsx[i]), d2)
+        cy1 = tdiv(_i32(gsy[i] - gsy[i_str]), d1)
+        cy2 = tdiv(_i32(gsy[i_end] - gsy[i]), d2)
         if direction <= 0:
             cx1, cx2 = cx2, cx1
             cy1, cy2 = cy2, cy1
-        d_clip = cx2 - cx1 + cy2 - cy1
+        d_clip = _i32(cx2 - cx1 + cy2 - cy1)
         if (
             d_clip > max_d_clip
             and cx1 < gp.thd_ccps_clip1_upper and cy1 < gp.thd_ccps_clip1_upper
@@ -904,7 +917,8 @@ def g_create_chains_from_anchors(anchors: List[int], tiles: List[int],
                                  gap_str: int, gap_end: int, read_len: int, gp: GapParms) -> None:
     """g_CreateChainsFromAnchors_ (src/gap_util.cpp:1191)."""
     thd_anchor_gap_size = 100
-    anchors.sort(key=ganchor_x, reverse=True)
+    # std::sort desc by g_hs_anchor_getX (src/gap_util.cpp:1201)
+    anchors[:] = CXS.std_sort(anchors, [ganchor_x(a) for a in anchors], desc=True)
     chains, _ = CH.chain_anchors_base(
         np.array(anchors, dtype=np.uint64), 0, len(anchors),
         thd_chain_depth=20, thd_chain_dx_depth=80, thd_best_n=20, stop_ratio=0.7,
@@ -1184,7 +1198,8 @@ def map_along_chain(seq1: np.ndarray, seq2: np.ndarray, chains: List[int], tiles
     c_stream(seq2, hs, get_y(chains[i_str]), get_y(chains[i_end - 1]), step2, shape_len, 1)
     c_create_anchors2(hs, anchors, len(hs), min(anchor_str, anchor_end) - 30,
                       max(anchor_str, anchor_end) + 30)
-    anchors.sort(key=ganchor_x, reverse=True)
+    # std::sort desc by g_hs_anchor_getX (src/gap_util.cpp:3349)
+    anchors[:] = CXS.std_sort(anchors, [ganchor_x(a) for a in anchors], desc=True)
     stick_main_chain(anchors, chains, ganchor_x, ganchor_y, get_x, get_y, gp)
     chains_out, _ = CH.chain_anchors_base(
         np.array(anchors, dtype=np.uint64), 0, len(anchors),
@@ -1311,6 +1326,7 @@ def create_tiles_from_anchors2(ref, read, comstr, anchors: List[int],
     """createTilesFromAnchors2_ (src/gap_util.cpp:4171)."""
     tmp_tiles: List[int] = []
     g_create_chains_from_anchors(anchors, tmp_tiles, gap_str, gap_end, read_len, gp)
+    PMP._dbg("GCHN", tmp_tiles)
     pre_i = 0
     i = 0
     while i < len(tmp_tiles):
@@ -1321,9 +1337,11 @@ def create_tiles_from_anchors2(ref, read, comstr, anchors: List[int],
                                          pre_i, i, -1, gp)
             i += re_extend_clip_one_side(ref, read, comstr, tmp_tiles, gap_str, gap_end,
                                          pre_i, i, 1, gp)
+            PMP._dbg("GREX", tmp_tiles)
             if not (not tmp_tiles or pre_i < 0 or i < 0):
                 tmp_tiles[pre_i] = copy_tile_sgn(head_tile, tmp_tiles[pre_i])
                 tmp_tiles[i] = copy_tile_sgn(tail_tile, tmp_tiles[i])
+                PMP._dbg("GTFC", tiles_str)
                 g_create_tiles_from_chains2(tmp_tiles, tiles_str, tiles_end, f1, f2,
                                             gap_str, gap_end, pre_i, i + 1,
                                             tile_x, tile_y, tile_strand, gp)
@@ -1367,7 +1385,18 @@ def _create_gap_anchors_list(anchors: List[int], thd_anchor_accept_density: int,
     if len(anchors) <= 1:
         return out
     anchors[0] = 0
-    anchors.sort(key=ganchor_str_anchor)
+    # std::sort asc by g_hs_anchor_getStrAnchor (src/gap_util.cpp:4286).
+    # getStrAnchor is uint64 arithmetic: the zeroed anchors[0] underflows to
+    # 2^64 - 2^20 and sorts LAST; the comparison below wraps the same way.
+    def sa(a: int) -> int:
+        return (((a >> 20) & ((1 << 31) - 1)) - (1 << 20)) & M64
+
+    def as_i64_order(k: int) -> int:
+        # order-preserving uint64 -> int64 key (XOR the sign bit)
+        m = k ^ (1 << 63)
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    anchors[:] = CXS.std_sort(anchors, [as_i64_order(sa(a)) for a in anchors])
     ak2 = anchors[1]
     block_str = 1
     count_anchors = 0
@@ -1377,8 +1406,7 @@ def _create_gap_anchors_list(anchors: List[int], thd_anchor_accept_density: int,
     for i in range(1, n):
         anc_y = ganchor_y(anchors[i])
         dy2 = abs(anc_y - ganchor_y(ak2))
-        f_continuous = (ganchor_str_anchor(anchors[i]) - ganchor_str_anchor(ak2)
-                        < (dy2 >> thd_anchor_err_bit))
+        f_continuous = ((sa(anchors[i]) - sa(ak2)) & M64) < (dy2 >> thd_anchor_err_bit)
         if f_continuous:
             if min_y > anc_y:
                 min_y = anc_y
@@ -1411,7 +1439,9 @@ def _filter_gap_anchors_list(anchors: List[int], anchors_list: List[Tuple[int, i
     thd_min_len2 = 10
     thd_max_len1 = 5
     thd_max_len2 = 2000
-    anchors_list.sort(key=lambda p: p[1] - p[0], reverse=True)
+    # std::sort desc by range length (src/gap_util.cpp:4356)
+    anchors_list[:] = CXS.std_sort(
+        anchors_list, [p[1] - p[0] for p in anchors_list], desc=True)
     if len(anchors) > thd_min_len1 and len(anchors_list) > thd_min_len2:
         i_median = len(anchors_list) // 2
         l_median = anchors_list[i_median][1] - anchors_list[i_median][0]
@@ -1434,8 +1464,9 @@ def _filter_gap_anchors_list(anchors: List[int], anchors_list: List[Tuple[int, i
 
 def filter_gap_anchors(anchors: List[int], gap_str: int, gap_end: int,
                        direction: int, gp: GapParms) -> None:
-    """filterGapAnchors (src/gap_util.cpp:4416)."""
-    alist = _create_gap_anchors_list(anchors, 0, 20, 0)
+    """filterGapAnchors (src/gap_util.cpp:4416): args there are
+    (shape_len=0, density=20, accept_min=20, err_bit=0)."""
+    alist = _create_gap_anchors_list(anchors, 20, 20, 0)
     alist = _filter_gap_anchors_list(anchors, alist, gp)
     it = 0
     for lo, hi in alist:
@@ -1455,17 +1486,22 @@ def extend_tiles_one_side(ref, read, comstr, anchors: List[int], tiles: List[int
     original_direction = gp.direction
     chain: List[int] = []
     gp.direction = direction
+    PMP._dbg("ETAN", anchors)
     g_create_chains_from_anchors(anchors, chain, gap_str, gap_end, read_len, gp)
     get_closest_extension_chain(chain, gap_str, gap_end, True, gp)
+    PMP._dbg("ETCH", chain)
     shape_len = gp.thd_etfas_shape_len
     step1 = gp.thd_etfas_step1
     step2 = gp.thd_etfas_step2
     remap_num = 50
     remap_chain_one_end(ref, read, comstr, chain, shape_len, step1, step2,
                         remap_num, direction, gp)
+    PMP._dbg("ETRM", chain)
     g_create_tiles_from_chains1(chain, tiles, f1, f2, gap_str, gap_end, 0, len(chain),
                                 tile_x, tile_y, tile_strand, gp)
+    PMP._dbg("ETTL", tiles)
     trim_tiles(tiles, f1, f2, gap_str, gap_end, read_len - 1, direction, gp)
+    PMP._dbg("ETTR", tiles)
     gp.direction = original_direction
 
 
@@ -1505,10 +1541,13 @@ def map_interval(seq1, read, comstr, tiles_str: List[int], tiles_end: List[int],
     g_stream(seq1, read, g_hs, gap_str, gap_end, shape_len, step1, step2)
     g_create_anchors(g_hs, anchors, shape_len, direction, anchor_lower, anchor_upper,
                      len(read) - 1, gap_str, gap_end, gp)
+    PMP._dbg("GANC", anchors)
     if len(anchors) > thd_mi_filter and f_filter:
         filter_gap_anchors(anchors, gap_str, gap_end, direction, gp)
+    PMP._dbg("GFAN", anchors)
     map_tiles_from_anchors(seq1, read, comstr, anchors, tiles_str, tiles_end,
                            f1, f2, gap_str, gap_end, len(read) - 1, direction, gp)
+    PMP._dbg("GTIL", tiles_str)
     return 0
 
 
@@ -1569,6 +1608,8 @@ def __extends_interval_clip_overlaps_insdel(chain1: List[int], chain2: List[int]
     gs22 = accumulate_simple_gap_score1(chain2, shape_len, get_y, gp)
     clip_chain_(chain1, gs11, gs12, G_MAP_RGHT, True, gp)
     clip_chain_(chain2, gs21, gs22, G_MAP_LEFT, True, gp)
+    PMP._dbg("XCL1", chain1)
+    PMP._dbg("XCL2", chain2)
     # NOTE: the C++ clips the chains but keeps using the PRE-CLIP score
     # arrays (indices misalign for chain2 after its prefix erase) — replicated
     j1 = j2 = i_clip = 0
@@ -1607,17 +1648,20 @@ def __extends_interval_clip_overlaps_insdel(chain1: List[int], chain2: List[int]
             for jj in range(max(j1, j2_pre), j2):
                 if jj >= len(gs21):
                     break
-                score21 = gs21[-1] - gs21[jj]
-                score22 = gs22[-1] - gs22[jj]
+                score21 = _i32(gs21[-1] - gs21[jj])
+                score22 = _i32(gs22[-1] - gs22[jj])
                 dxc = get_x(chain2[jj]) - get_x(chain1[i])
-                score_connect = (dxc - shape_len) * gp.int_precision if dxc > shape_len else 0
-                score = score11 + score12 + score21 + score22 + score_connect
+                # C++: int64 compare, then uint64 product truncated to int32
+                score_connect = (_i32(((dxc - shape_len) * gp.int_precision) & M64)
+                                 if dxc > shape_len else 0)
+                score = _i32(score11 + score12 + score21 + score22 + score_connect)
                 if score < min_score:
                     min_score = score
                     i_clip = i
                     j_clip = jj
         j1_pre = j1
         j2_pre = j2
+    PMP._dbg("XCLP", [i_clip & ((1 << 64) - 1), j_clip & ((1 << 64) - 1)])
     del chain1[i_clip:]
     j_clip = 0 if j_clip < 0 else j_clip
     del chain2[:j_clip]
@@ -1647,9 +1691,12 @@ def extends_interval_map_overlaps(ref, read, comstr, tiles1: List[int], tiles2: 
     """extendsIntervalMapOverlaps_ (src/gap_util.cpp:3577)."""
     drop_chain_gap_x(tiles1, tile_x, tile_y, G_MAP_RGHT, True, gp)
     drop_chain_gap_x(tiles2, tile_x, tile_y, G_MAP_LEFT, True, gp)
+    PMP._dbg("XDR1", tiles1)
+    PMP._dbg("XDR2", tiles2)
     overlap1: List[int] = []
     overlap2: List[int] = []
     overlaps = get_extends_interval_chains_overlaps(tiles1, tiles2, tile_x, tile_y, gp)
+    PMP._dbg("XOVP", [overlaps[0] & ((1<<64)-1), overlaps[1] & ((1<<64)-1)])
     if tiles1:
         seq2 = comstr if tile_strand(tiles1[0]) else read
         map_along_chain(ref, seq2, tiles1, overlap1, overlaps[0], len(tiles1), shape_len,
@@ -1660,7 +1707,11 @@ def extends_interval_map_overlaps(ref, read, comstr, tiles1: List[int], tiles2: 
         map_along_chain(ref, seq2, tiles2, overlap2, 0, overlaps[1], shape_len,
                         step1, step2, tile_x, tile_y, tile_strand, set_tile_strand,
                         ganchor2tile, gp)
-    if tile_x(gap_str1) - tile_y(gap_str1) > tile_x(gap_end2) - tile_y(gap_end2):
+    PMP._dbg("XMA1", overlap1)
+    PMP._dbg("XMA2", overlap2)
+    # C++ compares the x-y diagonals as uint64 (negative diffs wrap huge,
+    # src/gap_util.cpp:3613) — the ins/del branch choice depends on it
+    if ((tile_x(gap_str1) - tile_y(gap_str1)) & M64) > ((tile_x(gap_end2) - tile_y(gap_end2)) & M64):
         extends_interval_clip_overlaps_insdel(overlap1, overlap2, shape_len, tile_x, tile_y, gp)
     else:
         extends_interval_clip_overlaps_insdel(overlap1, overlap2, shape_len, tile_y, tile_x, gp)
@@ -1680,17 +1731,23 @@ def extends_tiles_from_anchors(ref, read, comstr, anchors1: List[int], anchors2:
     original_direction = gp.direction
     tmp1: List[int] = []
     tmp2: List[int] = []
+    PMP._dbg("XAN1", anchors1)
+    PMP._dbg("XAN2", anchors2)
     gp.direction = G_MAP_RGHT
     g_create_chains_from_anchors(anchors1, tmp1, gap_str1, gap_end1, read_len, gp)
     get_closest_extension_chain(tmp1, gap_str1, gap_end1, True, gp)
     gp.direction = G_MAP_LEFT
     g_create_chains_from_anchors(anchors2, tmp2, gap_str2, gap_end2, read_len, gp)
     get_closest_extension_chain(tmp2, gap_str2, gap_end2, True, gp)
+    PMP._dbg("XCH1", tmp1)
+    PMP._dbg("XCH2", tmp2)
     shape_len = gp.thd_etfas_shape_len
     step1 = gp.thd_etfas_step1
     step2 = gp.thd_etfas_step2
     extends_interval_map_overlaps(ref, read, comstr, tmp1, tmp2, gap_str1, gap_end1,
                                   gap_str2, gap_end2, shape_len, step1, step2, gp)
+    PMP._dbg("XOV1", tmp1)
+    PMP._dbg("XOV2", tmp2)
     g_create_tiles_from_chains2(tmp1, tiles_str1, tiles_end1, f1, f2, gap_str1, gap_end1,
                                 0, len(tmp1), tile_x, tile_y, tile_strand, gp)
     g_create_tiles_from_chains2(tmp2, tiles_str2, tiles_end2, f1, f2, gap_str2, gap_end2,
@@ -2054,6 +2111,7 @@ def map_gap_(seqs, read, comstr, gap_str: int, gap_end: int, f1, f2,
                     tiles_end.extend(te2)
             gp.chn_score2 = chn2_tmp
             gp.chn_score1 = chn1_tmp
+    PMP._dbg("MGBR", tiles_str)
     tiles_str.insert(0, gap_str)
     tiles_end.insert(0, shift_tile(gap_str, 1, 1))
     tiles_str.append(shift_tile(gap_end, -1, -1))
@@ -2070,6 +2128,7 @@ def map_gap_(seqs, read, comstr, gap_str: int, gap_end: int, f1, f2,
                 t_gap_str = tiles_str[i - 1]
                 t_gap_end = tiles_str[i]
                 map_generic(seqs, read, comstr, f1, f2, ts1, te1, t_gap_str, t_gap_end, gp)
+                PMP._dbg("MGGN", ts1)
                 if ts1:
                     # strip the head/tail sentinels reform_tiles inserted
                     del ts1[0]
@@ -2172,8 +2231,10 @@ def map_gaps(seqs, read, comstr, cords_str: List[int], cords_end: List[int],
                 gap_str = remove_tile_sgn(cord_unset_end(gap_str))
                 gap_end = remove_tile_sgn(cord_unset_end(gap_end))
                 if get_max_gapsy_overlap(apx_gaps, gap_str, gap_end) > thd_cord_gap:
+                    PMP._dbg("MGPI", [gap_str, gap_end, direction & ((1 << 64) - 1)])
                     map_gap_(seqs, read, comstr, gap_str, gap_end, f1, f2,
                              tiles_str, tiles_end, clips, direction, thd_dxy_min, gp)
+                    PMP._dbg("MGPO", tiles_str)
                     i = insert_tiles2cords(cords_str, cords_end, i, tiles_str, tiles_end,
                                            direction, thd_cord_size, thd_max_segs_num)
         elif not is_consecutive(cords_str[i - 1], cords_str[i], thd_cord_gap):
@@ -2190,8 +2251,10 @@ def map_gaps(seqs, read, comstr, cords_str: List[int], cords_end: List[int],
                 direction = G_MAP_CLOSED
                 gap_str = remove_tile_sgn(cord_unset_end(gap_str))
                 gap_end = remove_tile_sgn(cord_unset_end(gap_end))
+                PMP._dbg("MGPI", [gap_str, gap_end, direction & ((1<<64)-1)])
                 map_gap_(seqs, read, comstr, gap_str, gap_end, f1, f2,
                          tiles_str, tiles_end, clips, direction, thd_dxy_min, gp)
+                PMP._dbg("MGPO", tiles_str)
                 i = insert_tiles2cords(cords_str, cords_end, i, tiles_str, tiles_end,
                                        direction, thd_cord_size, thd_max_segs_num)
         if cord_is_end(cords_str[i]):  # right clip end cord of block
@@ -2205,8 +2268,10 @@ def map_gaps(seqs, read, comstr, cords_str: List[int], cords_end: List[int],
                 gap_str = remove_tile_sgn(cord_unset_end(gap_str))
                 gap_end = remove_tile_sgn(cord_unset_end(gap_end))
                 if get_max_gapsy_overlap(apx_gaps, gap_str, gap_end) > thd_cord_gap:
+                    PMP._dbg("MGPI", [gap_str, gap_end, direction & ((1 << 64) - 1)])
                     map_gap_(seqs, read, comstr, gap_str, gap_end, f1, f2,
                              tiles_str, tiles_end, clips, direction, thd_dxy_min, gp)
+                    PMP._dbg("MGPO", tiles_str)
                     i = insert_tiles2cords(cords_str, cords_end, i, tiles_str, tiles_end,
                                            direction, thd_cord_size, thd_max_segs_num)
         i += 1

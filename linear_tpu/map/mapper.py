@@ -45,6 +45,8 @@ class MapperConfig:
     sequence_sam: int = 0      # -ss
     reform_ccs: int = 0        # -r (functional here; dead-wired in reference)
     f_dup: int = 0             # -dup
+    bal_flag: int = 1          # -b; 0 = batch mode (deterministic omp-static
+    #                            GapParms partition), 1 = pipeline schedule
 
     @property
     def thd_DI(self) -> int:
@@ -70,6 +72,7 @@ class Mapper:
         self.f2: List[PMP.Feats] = []
         self.index: Optional[DI.DIndex] = None
         self._dev_index = None
+        self._gap_parms = {}
 
     # fixed device batch size: keeps the jitted kernel shapes constant
     # across blocks (one compile per (B, pad) bucket, persistent-cached)
@@ -126,7 +129,8 @@ class Mapper:
             anchors = [0]
             anchors.extend(seeds)
             PMP.filter_anchors(anchors, 1, 2, 2)
-            anchors.sort(key=anchor_x, reverse=True)
+            # must match the host's std::sort-exact permutation (PMP.CXS)
+            anchors = PMP.CXS.std_sort(anchors, [anchor_x(a) for a in anchors], desc=True)
             if len(anchors) < 2 or len(anchors) > 8192:
                 # < 2: chainAnchorsBase early-outs; > 8192: host DP
                 continue
@@ -210,18 +214,68 @@ class Mapper:
             outs.append(CDP.batch_chain_dp_windowed(arr, cnt, W=64, score_type=0))
         jax.block_until_ready(outs)
 
+    def gap_parms(self, tid: int = 0):
+        """The per-emulated-thread persistent GapParms (reference: per-THREAD
+        gap_parms_set[thread_id], src/mapper.cpp:233-237, passed by reference
+        into mapGaps). The reference NEVER resets it between reads, and
+        mapExtend/mapExtends permanently mutate thd_cts_major_limit,
+        thd_ctfas2_connect_*, direction, f_gmsa_direction
+        (src/gap_util.cpp:4046-4054,4089-4092) — later reads see the leaked
+        values, so a fresh GapParms per read diverges from the reference.
+
+        Thread structure: with -b 0 (batch mode) the reference partitions
+        each 50k block into `threads` contiguous static-omp chunks, one
+        GapParms per thread persisting across blocks — fully deterministic
+        and emulated here via `tid`. With -b 1 (default pipeline) the
+        task->thread assignment races: on this corpus size the observed
+        common schedule is one compute task holding all reads (tid 0), which
+        the default path emulates; the reference's own -b 1 multi-thread
+        output is scheduling-dependent (two stable outcomes observed on a
+        2-core host), so exact parity there is only defined per-schedule."""
+        if tid not in self._gap_parms:
+            from . import gap as GAP
+
+            # gap_len -> thd_gap_len_min mapping (src/mapper.cpp:209-232):
+            # 1 -> 50 (default), 2..9 -> 10, >=10 -> gap_len
+            g = self.cfg.gap_len
+            thd = 50 if g == 1 else (10 if g < 10 else g)
+            self._gap_parms[tid] = GAP.GapParms(thd_gap_len_min=thd, f_dup=self.cfg.f_dup)
+        return self._gap_parms[tid]
+
+    def reset_gap_parms(self) -> None:
+        """Start fresh emulated compute threads (see gap_parms)."""
+        self._gap_parms = {}
+
+    @staticmethod
+    def static_chunk_tids(n: int, threads: int) -> List[int]:
+        """Per-read thread ids of the reference's `#pragma omp for` static
+        partition in map_ (src/mapper.cpp:796-810): contiguous chunks of
+        size n//threads, the first n%threads chunks one longer."""
+        size2 = n // threads
+        r = n - size2 * threads
+        tids = []
+        for t in range(threads):
+            tids.extend([t] * (size2 + 1 if t < r else size2))
+        return tids
+
     def map_read(self, read: np.ndarray, seed_anchors=None, chain_pre=None):
         """Per-read body of p_calRecords. Returns (cords_str, cords_end,
         cords_info)."""
-        return PMP.run_serial(self.map_read_gen(
+        cords_str, cords_end, cords_info, rc, f1 = PMP.run_serial(self.map_read_gen(
             read, seed_anchors=seed_anchors, chain_pre=chain_pre))
+        self.gap_phase(read, rc, cords_str, cords_end, f1)
+        return cords_str, cords_end, cords_info
 
     def map_read_gen(self, read: np.ndarray, seed_anchors=None, chain_pre=None):
-        """Generator form of map_read: yields window-sweep requests (see
+        """Generator form of the apx phase: yields window-sweep requests (see
         pmpfinder.run_serial / run_lockstep); the lockstep driver batches
-        the dense-extension sweeps of many reads into single numpy passes."""
+        the dense-extension sweeps of many reads into single numpy passes.
+
+        The gap phase is NOT part of the generator: it mutates the shared
+        per-worker GapParms, so it must run in strict read order (gap_phase),
+        not in lockstep completion order."""
         if len(read) <= THD_MIN_READ_LEN:
-            return [], [], []
+            return [], [], [], None, None
         rc = seqio.revcomp(read)
         f1 = [
             PMP.Feats(F.create_features_serial(read)),
@@ -231,19 +285,24 @@ class Mapper:
         cords_str, cords_end, apx_gaps, cords_info = yield from PMP.apx_map(
             self.index, read, f1, self.f2, f_chain=self.cfg.apx_chain_flag, pm=pm
         )
-        if self.cfg.gap_len:
-            from . import gap as GAP
+        return cords_str, cords_end, cords_info, rc, f1
 
-            # gap_len -> thd_gap_len_min mapping (src/mapper.cpp:209-232):
-            # 1 -> 50 (default), 2..9 -> 10, >=10 -> gap_len
-            g = self.cfg.gap_len
-            thd = 50 if g == 1 else (10 if g < 10 else g)
-            GAP.map_gaps(
-                self.genomes, read, rc, cords_str, cords_end, apx_gaps, f1, self.f2,
-                GAP.GapParms(thd_gap_len_min=thd, f_dup=self.cfg.f_dup),
-            )
-            GAP.reform_cords(cords_str, cords_end)
-        return cords_str, cords_end, cords_info
+    def gap_phase(self, read, rc, cords_str, cords_end, f1, tid: int = 0) -> None:
+        """mapGaps + reformCords for one read (in read order). apx_gaps is
+        an output parameter of mapGaps (recomputed there, src/gap.cpp:437),
+        so a fresh list is passed."""
+        if not self.cfg.gap_len or rc is None:
+            return
+        from . import gap as GAP
+
+        GAP.map_gaps(
+            self.genomes, read, rc, cords_str, cords_end, [], f1, self.f2,
+            self.gap_parms(tid),
+        )
+        PMP._dbg("GAPF", cords_str)
+        PMP._dbg("GAPE", cords_end)
+        GAP.reform_cords(cords_str, cords_end)
+        PMP._dbg("REFC", cords_str)
 
     def map_block(self, reads: seqio.SeqSet, collect_bam: bool = False):
         """Map a block of reads; returns (all_cords_str, all_cords_end,
@@ -265,8 +324,15 @@ class Mapper:
             for read, seeded, chained in zip(reads.seqs, pre, chain_pre)
         ]
         mapped = PMP.run_lockstep(gens)
-        for (rid, read), (cords_str, cords_end, cords_info) in zip(
-                zip(reads.ids, reads.seqs), mapped):
+        if self.cfg.bal_flag == 0:
+            tids = self.static_chunk_tids(len(reads.seqs), self.cfg.threads)
+        else:
+            tids = [0] * len(reads.seqs)
+        for (rid, read), tid, (cords_str, cords_end, cords_info, rc, f1) in zip(
+                zip(reads.ids, reads.seqs), tids, mapped):
+            # gap phase in strict read order: it mutates the shared
+            # per-thread GapParms exactly like the reference's (see gap_parms)
+            self.gap_phase(read, rc, cords_str, cords_end, f1, tid=tid)
             all_str.append(cords_str)
             all_end.append(cords_end)
             sam, bl = self.read_output(read, rid, cords_str, cords_end,

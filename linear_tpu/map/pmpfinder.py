@@ -46,6 +46,13 @@ ABORT_SCORE = 1000
 
 MXU31 = (31 << 24) + (31 << 18) + (31 << 12) + (31 << 6) + 31
 
+# ------------------------------------------------------------ stage tracing
+# Set LINEAR_TPU_DBG=<path> to dump per-stage u64 arrays (ANCH/FANC/CHA1/
+# PREF/HITS/CRDS/APXF) in the same format as the instrumented reference
+# binary; tools/diffstage.py diffs the two traces to localize divergences.
+from ..utils import cxxsort as CXS
+from ..utils.dbg import dbg as _dbg
+
 
 @dataclass
 class PMPParms:
@@ -511,6 +518,7 @@ def filter_anchors(
     take the filterAnchors1 path)."""
     binning_filter(anchors)
     filter_anchors1(anchors, thd_anchor_accept_density, thd_anchor_accept_min, thd_anchor_err_bit)
+    _dbg("FANC", anchors)
 
 
 # ------------------------------------------------------ alg-1 listing path
@@ -549,7 +557,7 @@ def get_d_anchor_list(anchors: List[int], read_str: int, read_end: int, shape_le
             max_y = max(max_y, anchors[k] & MASK_Y)
         if not f_continuous or k == n - 1:
             if c_b > thd_anchor_accept_lens and (k - sb) >= int(((max_y - min_y) & M64) * thd_anchor_accept_dens):
-                seg = sorted(anchors[sb:k], key=lambda a: a & MASK_Y)
+                seg = CXS.std_sort(anchors[sb:k], [a & MASK_Y for a in anchors[sb:k]])
                 anchors[sb:k] = seg
                 out.append((c_b << 40) + (sb << 20) + k)
             sb = k
@@ -676,7 +684,8 @@ def gather_gaps_y(
     def fwd_y_key(p: Tuple[int, int]) -> int:
         return read_len - cy(p[1]) - 1 if strand(p[0]) else cy(p[0])
 
-    str_ends.sort(key=fwd_y_key)
+    # std::sort (src/pmpfinder.cpp:1610)
+    str_ends[:] = CXS.std_sort(str_ends, [fwd_y_key(p) for p in str_ends])
     f_cover = 0
     cordy1 = 0
     cordy2 = 0
@@ -724,7 +733,8 @@ def pre_filter_chains2(
         xycuts.append(p[0])
         xycuts.append((p[1] - 1) | mask)
         xy_strs.append(p[0])
-    xycuts.sort(key=lambda a: get_cord_xy(hits[a & ~mask]))
+    # std::sort (src/pmpfinder.cpp:2384): tie permutation must match
+    xycuts = CXS.std_sort(xycuts, [get_cord_xy(hits[a & ~mask]) for a in xycuts])
     out: List[Tuple[int, int]] = []
     for cut in xycuts:
         cuty = get_cord_xy(hits[cut & ~mask])
@@ -773,7 +783,9 @@ def chain_anchors_hits(anchors: List[int], hits: List[int], hits_score: List[int
         pm.chain_pre = None
         anchors[:] = pre_anchors
     else:
-        anchors.sort(key=anchor_x, reverse=True)
+        # std::sort desc by getAnchorX (src/pmpfinder.cpp:2465): the tie
+        # permutation decides which repeat copy wins downstream
+        anchors[:] = CXS.std_sort(anchors, [anchor_x(a) for a in anchors], desc=True)
     chains, chains_score = CH.chain_anchors_base(
         anchors, 0, len(anchors),
         thd_chain_depth=20, thd_chain_dx_depth=300,
@@ -814,8 +826,10 @@ def get_anchor_hits_chains(
     hits_score.clear()
     hits_score.append(0)
     chain_anchors_hits(anchors, hits, hits_score, pm)
+    _dbg("CHA1", hits)
     _, str_ends_p = gather_blocks(hits, 1, len(hits), read_len, thd_large_gap, 0, False)
     str_ends_p = pre_filter_chains2(hits, str_ends_p, cy)
+    _dbg("PREF", hits)
     str_ends_p_score = [
         hits_score[p[0]] - hits_score[p[1] - 1] for p in str_ends_p
     ]
@@ -823,6 +837,7 @@ def get_anchor_hits_chains(
         np.array(hits, dtype=np.uint64), str_ends_p, str_ends_p_score, read_len
     )
     hits[:] = [int(h) for h in new_hits]
+    _dbg("HITS", hits)
 
 
 def chain_apx_cords_blocks(
@@ -876,6 +891,7 @@ def mn_map_read_list(
     else:
         got = DI.query_anchors(index, read, read_str, read_end, thd_alpha=pm.thd_alpha)
         anchors.extend(int(a) for a in got)
+    _dbg("ANCH", anchors)
     if alg_type == 1:
         alist = get_d_anchor_list(anchors, read_str, read_end, index.span)
         get_d_hit_list(hits, alist, anchors, pm)
@@ -912,6 +928,7 @@ def apx_map_(
     for i in range(len(cords_info)):
         cords_info[i] = 100 - i
     yield from path_dst(hits, f1, f2, cords, read_str, read_end, len(read), alg_type)
+    _dbg("CRDS", cords)
 
 
 def apx_map(
@@ -984,6 +1001,7 @@ def apx_map(
         if is_end(c):
             seg = 1 - seg
         cords_end[i] = (c + d) & M64
+    _dbg("APXF", cords_str)
     return cords_str, cords_end, apx_gaps, cords_info
 
 

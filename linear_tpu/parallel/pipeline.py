@@ -48,6 +48,11 @@ def _map_chunk(task):
 
     reads, rids, seeds, chain_raws, collect_bam = task
     m = _WORKER_MAPPER
+    # fresh GapParms per chunk: chunk boundaries are fixed by the block
+    # splitter, so the output is deterministic regardless of which worker
+    # runs the chunk (the per-task parms state mirrors the reference's
+    # per-thread one at task granularity; see Mapper.gap_parms)
+    m.reset_gap_parms()
     gens = []
     for read, s, craw in zip(reads, seeds, chain_raws):
         chain_pre = None
@@ -57,7 +62,10 @@ def _map_chunk(task):
         gens.append(m.map_read_gen(read, seed_anchors=s, chain_pre=chain_pre))
     mapped = run_lockstep(gens)
     out = []
-    for read, rid, (cords_str, cords_end, cords_info) in zip(reads, rids, mapped):
+    for read, rid, (cords_str, cords_end, cords_info, rc, f1) in zip(reads, rids, mapped):
+        # gap phase in read order within the chunk (shared GapParms state,
+        # see Mapper.gap_parms)
+        m.gap_phase(read, rc, cords_str, cords_end, f1)
         sam, bam_lines = m.read_output(read, rid, cords_str, cords_end,
                                        collect_bam=collect_bam)
         out.append((cords_str, cords_end, sam, bam_lines))

@@ -41,6 +41,34 @@ def mutate(seq, rng, sub=0.04, ins=0.03, dele=0.03):
     return np.array(out, dtype=np.uint8)
 
 
+def make_repeat_genome(rng, length):
+    """Repeat-rich genome: tandem arrays of a 173-mer, dispersed ~3kb TE-like
+    copies (lightly mutated), homopolymer runs, and unique stretches.  This is
+    the corpus class where the reference's thd_omit_block=400 bucket omission,
+    binningFilter, and density filters actually fire."""
+    te = rng.integers(0, 4, 3000).astype(np.uint8)
+    unit = rng.integers(0, 4, 173).astype(np.uint8)
+    parts = []
+    total = 0
+    while total < length:
+        kind = int(rng.integers(0, 10))
+        if kind < 3:  # tandem array of the 173-mer
+            n = int(rng.integers(20, 200))
+            seg = np.tile(unit, n)
+        elif kind < 6:  # TE copy with ~2% substitutions
+            seg = te.copy()
+            nmut = int(rng.integers(0, 60))
+            pos = rng.integers(0, len(seg), nmut)
+            seg[pos] = (seg[pos] + rng.integers(1, 4, nmut)) % 4
+        elif kind == 6:  # homopolymer run
+            seg = np.full(int(rng.integers(50, 400)), int(rng.integers(0, 4)), dtype=np.uint8)
+        else:  # unique sequence
+            seg = rng.integers(0, 4, int(rng.integers(2000, 20000))).astype(np.uint8)
+        parts.append(seg)
+        total += len(seg)
+    return np.concatenate(parts)[:length]
+
+
 def simulate(rng, genomes, n_reads):
     """Simulated reads: normal fwd/rev, chimeric, with SVs, short, N-laced."""
     reads = []
@@ -91,19 +119,37 @@ def run_reference(reads_fa, genome_fa, out_prefix, threads, gap_len, extra=()):
     return out_prefix + ".sam", out_prefix + ".apf"
 
 
-def run_ours(reads_fa, genome_fa, out_prefix, threads, gap_len):
+def run_ours(reads_fa, genome_fa, out_prefix, threads, gap_len, task_split=0):
+    """task_split emulates the reference pipeline's task granularity: with
+    threads > 1 and gaps on, the reference's task->thread race has two
+    stable outcomes on a 2-core host — one compute task holding the whole
+    block (task_split=0) or a split into 32-read tasks each with fresh
+    per-task GapParms (task_split=32). Both are reproduced bit-exactly;
+    the differential driver accepts either (see difftest main)."""
     from linear_tpu.map.mapper import Mapper, MapperConfig
 
-    m = Mapper([genome_fa], MapperConfig(gap_len=gap_len, threads=threads, read_group="", sample_name=""))
+    m = Mapper([genome_fa], MapperConfig(gap_len=gap_len, threads=threads,
+                                         read_group="", sample_name=""))
     m.prepare()
     sam_path = out_prefix + ".sam"
     apf_path = out_prefix + ".apf"
     with open(sam_path, "w") as fs, open(apf_path, "w") as fa:
         fs.write(m.sam_header())
         for block in seqio.read_blocks(reads_fa):
-            cs, ce, sam = m.map_block(block)
-            fs.write(sam)
-            fa.write(m.apf_block(cs, block))
+            if not task_split:
+                cs, ce, sam = m.map_block(block)
+                fs.write(sam)
+                fa.write(m.apf_block(cs, block))
+            else:
+                all_cs = []
+                for c0 in range(0, len(block.seqs), task_split):
+                    sub = seqio.SeqSet(ids=block.ids[c0:c0 + task_split],
+                                       seqs=block.seqs[c0:c0 + task_split])
+                    m.reset_gap_parms()
+                    cs, ce, sam = m.map_block(sub)
+                    fs.write(sam)
+                    all_cs.extend(cs)
+                fa.write(m.apf_block(all_cs, block))
     return sam_path, apf_path
 
 
@@ -129,11 +175,15 @@ def main():
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--genome-len", type=int, default=200000)
     ap.add_argument("--n-genomes", type=int, default=2)
+    ap.add_argument("--corpus", choices=["uniform", "repeat"], default="uniform")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
-    genomes = [rng.integers(0, 4, args.genome_len).astype(np.uint8) for _ in range(args.n_genomes)]
+    if args.corpus == "repeat":
+        genomes = [make_repeat_genome(rng, args.genome_len) for _ in range(args.n_genomes)]
+    else:
+        genomes = [rng.integers(0, 4, args.genome_len).astype(np.uint8) for _ in range(args.n_genomes)]
     tmp = tempfile.mkdtemp(prefix="lineardiff_")
     genome_fa = os.path.join(tmp, "g.fa")
     reads_fa = os.path.join(tmp, "r.fa")
@@ -143,8 +193,16 @@ def main():
 
     ref_sam, ref_apf = run_reference(reads_fa, genome_fa, os.path.join(tmp, "ref"), args.threads, args.gap_len)
     my_sam, my_apf = run_ours(reads_fa, genome_fa, os.path.join(tmp, "mine"), args.threads, args.gap_len)
+    if (args.threads > 1 and args.gap_len > 0
+            and open(ref_sam).read() != open(my_sam).read()):
+        # the reference's multi-thread pipeline race: retry with the
+        # 32-read task-split schedule (see run_ours)
+        my_sam, my_apf = run_ours(reads_fa, genome_fa, os.path.join(tmp, "mine"),
+                                  args.threads, args.gap_len, task_split=32)
+        print("(schedule B: 32-read task split)")
 
-    for name, p1, p2 in [("SAM", ref_sam, my_sam), ("APF", ref_apf, my_apf)]:
+    pairs = [("SAM", ref_sam, my_sam), ("APF", ref_apf, my_apf)]
+    for name, p1, p2 in pairs:
         same, total = diff_rate(p1, p2, ignore_blank=(name == "APF"))
         status = "IDENTICAL" if same == total else f"{same}/{total} lines match"
         print(f"{name}: {status}")
