@@ -506,7 +506,9 @@ def g_create_anchors(g_hs: List[int], g_anchor: List[int], shape_len: int, direc
     """g_create_anchors_ (src/gap_util.cpp:1596)."""
     mask = (1 << (2 * shape_len + 33)) - 1
     # std::sort asc by (a & mask) (src/gap_util.cpp:1608)
-    g_hs[:] = CXS.std_sort(g_hs, [a & mask for a in g_hs])
+    arr = np.fromiter(g_hs, dtype=np.uint64, count=len(g_hs))
+    perm = CXS.std_sort_perm((arr & np.uint64(mask)).astype(np.int64), desc=False)
+    g_hs[:] = arr[perm].tolist()
     triples = _group_triples(g_hs, mask)
     _set_anchors_batch(g_hs, g_anchor, triples, rvcp_const,
                        anchor_lower, anchor_upper, gap_str, gap_end, direction, gp)
@@ -519,7 +521,9 @@ def g_create_extend_anchors_pair(g_hs: List[int], anchors1: List[int], anchors2:
     """g_CreateExtendAnchorsPair_ (src/gap_util.cpp:1628)."""
     mask = (1 << (2 * shape_len + 33)) - 1
     # std::sort asc by (a & mask) (src/gap_util.cpp:1640)
-    g_hs[:] = CXS.std_sort(g_hs, [a & mask for a in g_hs])
+    arr = np.fromiter(g_hs, dtype=np.uint64, count=len(g_hs))
+    perm = CXS.std_sort_perm((arr & np.uint64(mask)).astype(np.int64), desc=False)
+    g_hs[:] = arr[perm].tolist()
     triples = _group_triples(g_hs, mask)
     _set_anchors_batch(g_hs, anchors1, triples, rvcp_const, 0, 0, gap_str1, gap_end1, 1, gp)
     _set_anchors_batch(g_hs, anchors2, triples, rvcp_const, 0, 0, gap_str2, gap_end2, -1, gp)
@@ -918,7 +922,9 @@ def g_create_chains_from_anchors(anchors: List[int], tiles: List[int],
     """g_CreateChainsFromAnchors_ (src/gap_util.cpp:1191)."""
     thd_anchor_gap_size = 100
     # std::sort desc by g_hs_anchor_getX (src/gap_util.cpp:1201)
-    anchors[:] = CXS.std_sort(anchors, [ganchor_x(a) for a in anchors], desc=True)
+    arr = np.fromiter(anchors, dtype=np.int64, count=len(anchors))
+    perm = CXS.std_sort_perm(ganchor_x_vec(arr), desc=True)
+    anchors[:] = arr[perm].tolist()
     chains, _ = CH.chain_anchors_base(
         np.array(anchors, dtype=np.uint64), 0, len(anchors),
         thd_chain_depth=20, thd_chain_dx_depth=80, thd_best_n=20, stop_ratio=0.7,
@@ -1199,7 +1205,9 @@ def map_along_chain(seq1: np.ndarray, seq2: np.ndarray, chains: List[int], tiles
     c_create_anchors2(hs, anchors, len(hs), min(anchor_str, anchor_end) - 30,
                       max(anchor_str, anchor_end) + 30)
     # std::sort desc by g_hs_anchor_getX (src/gap_util.cpp:3349)
-    anchors[:] = CXS.std_sort(anchors, [ganchor_x(a) for a in anchors], desc=True)
+    arr = np.fromiter(anchors, dtype=np.int64, count=len(anchors))
+    perm = CXS.std_sort_perm(ganchor_x_vec(arr), desc=True)
+    anchors[:] = arr[perm].tolist()
     stick_main_chain(anchors, chains, ganchor_x, ganchor_y, get_x, get_y, gp)
     chains_out, _ = CH.chain_anchors_base(
         np.array(anchors, dtype=np.uint64), 0, len(anchors),
@@ -1391,12 +1399,12 @@ def _create_gap_anchors_list(anchors: List[int], thd_anchor_accept_density: int,
     def sa(a: int) -> int:
         return (((a >> 20) & ((1 << 31) - 1)) - (1 << 20)) & M64
 
-    def as_i64_order(k: int) -> int:
-        # order-preserving uint64 -> int64 key (XOR the sign bit)
-        m = k ^ (1 << 63)
-        return m - (1 << 64) if m >= (1 << 63) else m
-
-    anchors[:] = CXS.std_sort(anchors, [as_i64_order(sa(a)) for a in anchors])
+    # vectorized uint64 keys; XOR the sign bit = order-preserving int64 view
+    arr = np.fromiter(anchors, dtype=np.uint64, count=len(anchors))
+    sa_v = (((arr >> np.uint64(20)) & np.uint64((1 << 31) - 1)) - np.uint64(1 << 20))
+    keys = (sa_v ^ np.uint64(1 << 63)).view(np.int64)
+    perm = CXS.std_sort_perm(keys, desc=False)
+    anchors[:] = arr[perm].tolist()
     ak2 = anchors[1]
     block_str = 1
     count_anchors = 0

@@ -785,7 +785,9 @@ def chain_anchors_hits(anchors: List[int], hits: List[int], hits_score: List[int
     else:
         # std::sort desc by getAnchorX (src/pmpfinder.cpp:2465): the tie
         # permutation decides which repeat copy wins downstream
-        anchors[:] = CXS.std_sort(anchors, [anchor_x(a) for a in anchors], desc=True)
+        arr = np.fromiter(anchors, dtype=np.int64, count=len(anchors))
+        perm = CXS.std_sort_perm(CH.anchor_x_vec(arr), desc=True)
+        anchors[:] = arr[perm].tolist()
     chains, chains_score = CH.chain_anchors_base(
         anchors, 0, len(anchors),
         thd_chain_depth=20, thd_chain_dx_depth=300,
