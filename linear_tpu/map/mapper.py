@@ -73,6 +73,7 @@ class Mapper:
         self.index: Optional[DI.DIndex] = None
         self._dev_index = None
         self._gap_parms = {}
+        self._nengine = None  # lazy per-process native engine (lt_engine)
 
     # fixed device batch size: keeps the jitted kernel shapes constant
     # across blocks (one compile per (B, pad) bucket, persistent-cached)
@@ -245,6 +246,60 @@ class Mapper:
     def reset_gap_parms(self) -> None:
         """Start fresh emulated compute threads (see gap_parms)."""
         self._gap_parms = {}
+        if self._nengine is not None:
+            self._nengine.reset()
+
+    # ------------------------------------------------------ native engine
+
+    def use_native(self) -> bool:
+        """Whether the native engine will serve this config (cheap check —
+        usable before/without instantiating it)."""
+        from . import nengine as NE
+
+        return NE.enabled() and not self.cfg.aln_flag
+
+    def native_engine(self):
+        """The per-process native engine (lt_engine), or None. Created
+        lazily so forked pipeline workers each get their own instance state
+        (the backing genome/feature/index arrays are shared copy-on-write).
+
+        The native engine covers the production config; flags it does not
+        implement fall back to the exact Python path."""
+        if self._nengine is not None:
+            return self._nengine
+        from . import nengine as NE
+
+        if not NE.enabled() or self.cfg.aln_flag or self.index is None:
+            return None
+        g = self.cfg.gap_len
+        gap_min = 0 if not g else (50 if g == 1 else (10 if g < 10 else g))
+        self._nengine = NE.NativeEngine(
+            self.genomes, [f.arr for f in self.f2], self.index,
+            self.genome_ids, thd_DI=self.cfg.thd_DI, thd_X=self.cfg.thd_X,
+            gap_len_min=gap_min, f_dup=self.cfg.f_dup,
+            f_chain=self.cfg.apx_chain_flag,
+            sequence_sam=self.cfg.sequence_sam,
+            reform_ccs=self.cfg.reform_ccs)
+        return self._nengine
+
+    def native_map_read(self, read, rid: str, seeds=None, tid: int = 0,
+                        collect_bam: bool = False):
+        """One read through the native engine: returns (cords_str list,
+        cords_end list, sam text, bam_lines)."""
+        import numpy as np  # noqa: F811
+
+        ne = self._nengine
+        s = None
+        if seeds is not None:
+            s = np.asarray(seeds, dtype=np.uint64)
+        cs, ce, sam = ne.map_read(read, rid, seeds=s, tid=tid)
+        cs_l = [int(c) for c in cs]
+        ce_l = [int(c) for c in ce]
+        bam_lines = []
+        if collect_bam:
+            _, bam_lines = self.read_output(read, rid, cs_l, ce_l,
+                                            collect_bam=True)
+        return cs_l, ce_l, sam, bam_lines
 
     @staticmethod
     def static_chunk_tids(n: int, threads: int) -> List[int]:
@@ -313,21 +368,34 @@ class Mapper:
         all_end: List[List[int]] = []
         sam_parts: List[str] = []
         bam_lines: List[dict] = []
+        ne = self.native_engine()
         if self.device == "tpu":
             pre = self._device_seed_block(reads)
-            chain_pre = self._device_chain_block(pre)
+            chain_pre = (self._device_chain_block(pre)
+                         if ne is None else [None] * len(reads.seqs))
         else:
             pre = [None] * len(reads.seqs)
             chain_pre = [None] * len(reads.seqs)
+        if self.cfg.bal_flag == 0:
+            tids = self.static_chunk_tids(len(reads.seqs), self.cfg.threads)
+        else:
+            tids = [0] * len(reads.seqs)
+        if ne is not None:
+            for rid, read, tid, seeds in zip(reads.ids, reads.seqs, tids, pre):
+                cords_str, cords_end, sam, bl = self.native_map_read(
+                    read, rid, seeds=seeds, tid=tid, collect_bam=collect_bam)
+                all_str.append(cords_str)
+                all_end.append(cords_end)
+                sam_parts.append(sam)
+                bam_lines.extend(bl)
+            if collect_bam:
+                return all_str, all_end, "".join(sam_parts), bam_lines
+            return all_str, all_end, "".join(sam_parts)
         gens = [
             self.map_read_gen(read, seed_anchors=seeded, chain_pre=chained)
             for read, seeded, chained in zip(reads.seqs, pre, chain_pre)
         ]
         mapped = PMP.run_lockstep(gens)
-        if self.cfg.bal_flag == 0:
-            tids = self.static_chunk_tids(len(reads.seqs), self.cfg.threads)
-        else:
-            tids = [0] * len(reads.seqs)
         for (rid, read), tid, (cords_str, cords_end, cords_info, rc, f1) in zip(
                 zip(reads.ids, reads.seqs), tids, mapped):
             # gap phase in strict read order: it mutates the shared

@@ -1,0 +1,141 @@
+"""ctypes wrapper for the native per-read mapping engine (lt_engine).
+
+The native engine is the production host runtime: it consumes the TPU
+device seeding results (or seeds on the host itself) and runs the exact
+per-read pipeline — chaining DP, dense window extension, gap/SV resolution,
+cords -> CIGAR/SAM — at C++ speed. It is validated bit-identical against
+the Python host oracle (linear_tpu.map.*) by tests/test_nengine.py; the
+Python engine stays as the reference implementation and fallback
+(LINEAR_TPU_ENGINE=py forces it).
+"""
+from __future__ import annotations
+
+import ctypes as C
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..native import load
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def engine_lib():
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB_TRIED = True
+        lib = load("lt_engine")
+        if lib is not None:
+            lib.le_create.restype = C.c_void_p
+            lib.le_create.argtypes = [
+                C.c_int64,                      # n_genomes
+                C.POINTER(C.c_void_p),          # genome_ptrs
+                C.POINTER(C.c_int64),           # genome_lens
+                C.POINTER(C.c_void_p),          # gfeat_ptrs
+                C.POINTER(C.c_int64),           # gfeat_rows
+                C.c_void_p,                     # dir (int32*)
+                C.c_void_p,                     # hs (u64*)
+                C.c_int, C.c_int,               # span, weight
+                C.c_int64, C.c_int64,           # thd_DI, thd_X
+                C.c_int64,                      # gap_len_min
+                C.c_int, C.c_int, C.c_int, C.c_int,  # f_dup f_chain ss rccs
+                C.POINTER(C.c_char_p),          # genome ids
+            ]
+            lib.le_reset.restype = None
+            lib.le_reset.argtypes = [C.c_void_p]
+            lib.le_destroy.restype = None
+            lib.le_destroy.argtypes = [C.c_void_p]
+            lib.le_map_read.restype = C.c_int
+            lib.le_map_read.argtypes = [
+                C.c_void_p,
+                C.c_void_p, C.c_int64,          # read, len
+                C.c_char_p,                     # rid
+                C.c_void_p, C.c_int64,          # seeds, n_seeds
+                C.c_int, C.c_int,               # tid, do_output
+                C.POINTER(C.c_void_p), C.POINTER(C.c_void_p),  # out cs/ce
+                C.POINTER(C.c_int64),
+                C.POINTER(C.c_char_p), C.POINTER(C.c_int64),
+            ]
+        _LIB = lib
+    return _LIB
+
+
+def enabled() -> bool:
+    if os.environ.get("LINEAR_TPU_ENGINE", "native") == "py":
+        return False
+    return engine_lib() is not None
+
+
+class NativeEngine:
+    """One engine instance per process; keeps the backing numpy arrays
+    alive for the engine's lifetime."""
+
+    def __init__(self, genomes: List[np.ndarray], gfeats: List[np.ndarray],
+                 index, genome_ids: List[str], thd_DI: int, thd_X: int,
+                 gap_len_min: int, f_dup: int, f_chain: int,
+                 sequence_sam: int, reform_ccs: int):
+        lib = engine_lib()
+        assert lib is not None
+        self._lib = lib
+        # pinned references (the engine stores raw pointers)
+        self._genomes = [np.ascontiguousarray(g, dtype=np.uint8) for g in genomes]
+        self._gfeats = [np.ascontiguousarray(f, dtype=np.int32) for f in gfeats]
+        self._dir = np.ascontiguousarray(index.dir, dtype=np.int32)
+        self._hs = np.ascontiguousarray(index.hs, dtype=np.uint64)
+        n = len(self._genomes)
+        gptrs = (C.c_void_p * n)(*[g.ctypes.data for g in self._genomes])
+        glens = (C.c_int64 * n)(*[len(g) for g in self._genomes])
+        fptrs = (C.c_void_p * n)(*[f.ctypes.data for f in self._gfeats])
+        frows = (C.c_int64 * n)(*[f.shape[0] for f in self._gfeats])
+        gids = (C.c_char_p * n)(*[s.encode() for s in genome_ids])
+        self._h = lib.le_create(
+            n, gptrs, glens, fptrs, frows,
+            self._dir.ctypes.data, self._hs.ctypes.data,
+            index.span, index.weight,
+            thd_DI, thd_X, gap_len_min, f_dup, f_chain,
+            sequence_sam, reform_ccs, gids)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.le_destroy(self._h)
+        except Exception:
+            pass
+
+    def reset(self) -> None:
+        """Fresh per-task GapParms (reference: per-compute-task state)."""
+        self._lib.le_reset(self._h)
+
+    def map_read(self, read: np.ndarray, rid: str,
+                 seeds: Optional[np.ndarray] = None, tid: int = 0,
+                 do_output: bool = True):
+        """Returns (cords_str int64-u64 ndarray copy, cords_end, sam str)."""
+        read = np.ascontiguousarray(read, dtype=np.uint8)
+        if seeds is None:
+            seeds_ptr, n_seeds = None, -1
+        else:
+            seeds = np.ascontiguousarray(seeds, dtype=np.uint64)
+            seeds_ptr, n_seeds = seeds.ctypes.data, len(seeds)
+        cs_p = C.c_void_p()
+        ce_p = C.c_void_p()
+        n_out = C.c_int64()
+        sam_p = C.c_char_p()
+        sam_n = C.c_int64()
+        self._lib.le_map_read(
+            self._h, read.ctypes.data, len(read), rid.encode(),
+            seeds_ptr, n_seeds, tid, 1 if do_output else 0,
+            C.byref(cs_p), C.byref(ce_p), C.byref(n_out),
+            C.byref(sam_p), C.byref(sam_n))
+        n = n_out.value
+        if n:
+            cs = np.ctypeslib.as_array(
+                C.cast(cs_p, C.POINTER(C.c_uint64)), shape=(n,)).copy()
+            ce = np.ctypeslib.as_array(
+                C.cast(ce_p, C.POINTER(C.c_uint64)), shape=(n,)).copy()
+        else:
+            cs = np.zeros(0, dtype=np.uint64)
+            ce = np.zeros(0, dtype=np.uint64)
+        sam = C.string_at(sam_p, sam_n.value).decode() if sam_n.value else ""
+        return cs, ce, sam

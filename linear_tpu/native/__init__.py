@@ -23,14 +23,19 @@ _LIBS: dict = {}
 
 
 def _build(name: str) -> str | None:
+    import glob
+
     src = os.path.join(_DIR, f"{name}.cpp")
     so = os.path.join(_DIR, f"{name}.so")
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+    deps = [src] + glob.glob(os.path.join(_DIR, "*.hpp"))
+    newest_dep = max(os.path.getmtime(d) for d in deps)
+    if os.path.exists(so) and os.path.getmtime(so) >= newest_dep:
         return so
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", src, "-lz", "-o", so + ".tmp"],
-            check=True, capture_output=True, timeout=120,
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", src, "-lz",
+             "-o", so + ".tmp"],
+            check=True, capture_output=True, timeout=240,
         )
         os.replace(so + ".tmp", so)
         return so

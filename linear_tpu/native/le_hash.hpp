@@ -1,0 +1,184 @@
+// Scalar LShape rolling hash + DIndex query + gap-module hash streams.
+// Native twin of linear_tpu/ops/hashing.py (HashStream) and
+// linear_tpu/index/dindex.py (query_anchors); reference:
+// src/shape_extend.cpp (hashInit :86, hashNexth :173, hashNextX :341),
+// getDIndexMatchAll src/pmpfinder.cpp:1856, val2Anchor src/index_util.cpp:1509,
+// g_mapHs_kmer_ src/gap_util.cpp:632, c_stream_ :1694.
+#pragma once
+#include "le_common.hpp"
+
+namespace le {
+
+struct HashStream {
+    int span, weight;
+    u64 h = 0, crh = 0;
+    i64 x = 0;
+    u64 left = 0;
+    int strand = 0;
+    u64 xval = 0, yval = 0;
+
+    HashStream(int span_, int weight_) : span(span_), weight(weight_) {}
+
+    // hashInit (src/shape_extend.cpp:86): returns skip k, or -1 when no
+    // N-free span window exists to the end of the sequence
+    i64 init(const u8* seq, i64 n, i64 it) {
+        int s = span;
+        left = 0; h = 0; crh = 0; x = -3;
+        i64 k = 0, count = 0;
+        while (count < s) {
+            if (it + k + count >= n) return -1;
+            if (seq[it + k + count] == 4) { k += count + 1; count = 0; }
+            else count++;
+        }
+        int bit = 2;
+        for (int i = 0; i < s - 1; i++) {
+            u64 val = seq[it + k + i];
+            x += ((i64)val << 1) - 3;
+            h = (h << 2) + val;
+            crh = crh + ((3 - val) << bit);
+            bit += 2;
+        }
+        return k;
+    }
+
+    // hashNexth (src/shape_extend.cpp:173)
+    void nexth(const u8* seq, i64 it) {
+        int s = span;
+        u64 mask = (1ull << (2 * s - 2)) - 1;
+        u64 v2 = seq[it + s - 1];
+        h = ((h & mask) << 2) + v2;
+        crh = ((crh >> 2) & mask) + ((3 - v2) << (2 * s - 2));
+        x += ((i64)v2 - (i64)left) << 1;
+        left = seq[it];
+    }
+
+    // hashNextX = hashNextXX + hashNextXY2 (src/shape_extend.cpp:341)
+    u64 nextx(const u8* seq, i64 n, i64 it) {
+        int s = span, w = weight;
+        int span2 = 2 * s, weight2 = 2 * w;
+        u64 v2 = (x > 0) ? h : crh;
+        strand = (x > 0) ? 0 : 1;
+        u64 xv = (1ull << span2) - 1;
+        int t = 0;
+        for (int k = 64 - span2; k <= 64 - weight2; k += 2) {
+            u64 v1 = (v2 << k) >> (64 - weight2);
+            if (xv > v1) { xv = v1; t = k; }
+        }
+        xval = xv;
+        u64 yv = 0;
+        if (x > 0) {
+            i64 d_it = (t >> 1) + s + w - 32;
+            for (i64 i = d_it; i < d_it + 4; i++) {
+                i64 p = it + i;
+                i64 val = (p >= 0 && p < n) ? (i64)seq[p] : 0;
+                yv = (val > 3) ? (yv << 2) : ((yv << 2) + (u64)val);
+            }
+        } else {
+            i64 d_it = -(t >> 1) - w + 31;
+            for (i64 i = d_it; i > d_it - 4; i--) {
+                i64 p = it + i;
+                i64 val = 3 - ((p >= 0 && p < n) ? (i64)seq[p] : 0);
+                yv = (val < 0) ? (yv << 2) : ((yv << 2) + (u64)val);
+            }
+        }
+        yval = yv;
+        return xv;
+    }
+};
+
+// DIndex view (tables owned by the Python side; int32 dir, u64 hs)
+struct DIndexView {
+    const i32* dir;
+    const u64* hs;
+    int span, weight;
+};
+
+// getDIndexMatchAll (src/pmpfinder.cpp:1856-1913) + val2Anchor
+// (src/index_util.cpp:1509): emit anchors for read range [read_str, read_end)
+static inline void query_anchors(const DIndexView& ix, const u8* read,
+                                 i64 read_len, i64 read_str, i64 read_end,
+                                 i64 thd_alpha, std::vector<u64>& anchors) {
+    int span = ix.span;
+    HashStream st(span, ix.weight);
+    if (st.init(read, read_len, 0) < 0) return;
+    u64 xpre = 0;
+    i64 dt = 0;
+    i64 j_end = read_end - span;
+    for (i64 j = read_str + span; j < j_end; j++) {
+        st.nexth(read, j);
+        if (++dt < thd_alpha) continue;
+        dt = 0;
+        st.nextx(read, read_len, j);
+        if (st.xval == xpre) continue;
+        xpre = st.xval;
+        i64 lo = ix.dir[st.xval], hi = ix.dir[st.xval + 1];
+        for (i64 e = lo; e < hi; e++) {
+            u64 ent = ix.hs[e];
+            u64 val = (ent & MASK_Y) ^ st.yval;
+            if (val != 0) {
+                int ctz = __builtin_ctzll(val);
+                if ((val >> ctz) >= 4) continue;
+            }
+            int same = (cstrand(ent) == st.strand);
+            u64 cordy = same ? (u64)j : (u64)(read_len - 1 - j);
+            u64 anc = ent - (cordy << 20) + cordy - (ent & MASK_Y);
+            anc = same ? (anc & ~FLAG_STRAND) : (anc | FLAG_STRAND);
+            anchors.push_back(anc);
+        }
+    }
+}
+
+// ---------------------------------------------------- gap-module streams
+// g_hs: N/A[1]|xval[30]|type[2]|strand[1]|coordinate[30] (src/gap_util.cpp:522)
+
+static inline u64 g_hs_make(u64 xval, int typ, int std, i64 coord) {
+    return (xval << 33) + ((u64)typ << 31) + ((u64)std << 30) + (u64)coord;
+}
+static inline i64 g_hs_cord(u64 v) { return (i64)(v & ((1ull << 30) - 1)); }
+static inline u64 g_hs_xt(u64 v) { return (v >> 31) & ((1ull << 32) - 1); }
+
+// g_mapHs_kmer_ (src/gap_util.cpp:632): double-strand canonical stream
+// (hashInit + per-base roll; value = x<0 ? crh : h; strand = x<0)
+static inline void g_map_hs_kmer(const u8* seq, i64 n, std::vector<u64>& g_hs,
+                                 i64 s, i64 e, int shape_len, i64 step, int typ) {
+    if (n < shape_len) return;
+    i64 stop = std::min(e, n - shape_len);
+    HashStream st(shape_len, shape_len);
+    if (st.init(seq, n, s) < 0) return;
+    u64 vmask = (1ull << (2 * shape_len)) - 1;
+    i64 count = 0;
+    for (i64 k = s; k < stop; k++) {
+        st.nexth(seq, k);
+        int std_ = st.x < 0 ? 1 : 0;
+        u64 val = std_ ? st.crh : st.h;
+        if (++count == step) {
+            g_hs.push_back(g_hs_make(val & vmask, typ, std_, k));
+            count = 0;
+        }
+    }
+}
+
+// c_stream_ (src/gap_util.cpp:1694): single-strand rolling hash
+static inline void c_stream(const u8* seq, i64 n, std::vector<u64>& g_hs,
+                            i64 sq_str, i64 sq_end, i64 step, int shape_len,
+                            int typ) {
+    if (n < shape_len) return;
+    i64 stop = std::min(sq_end, n - shape_len);
+    u64 h = 0;
+    for (int i = 0; i < shape_len - 1; i++) {
+        i64 p = sq_str + i;
+        h = (h << 2) + ((p >= 0 && p < n) ? (u64)seq[p] : 0);
+    }
+    u64 mask = (1ull << (2 * shape_len - 2)) - 1;
+    i64 count = 0;
+    for (i64 k = sq_str; k < stop; k++) {
+        u64 v2 = seq[k + shape_len - 1];
+        h = ((h & mask) << 2) + v2;
+        if (++count == step) {
+            g_hs.push_back(g_hs_make(h, typ, 0, k));
+            count = 0;
+        }
+    }
+}
+
+}  // namespace le

@@ -1,0 +1,177 @@
+// lt_engine: the native per-read mapping runtime.
+//
+// The TPU device kernels (linear_tpu/ops) cover the batched hot stages
+// (seeding, chain DP); this engine is the host runtime that consumes those
+// results and runs the irregular per-read control flow at C++ speed:
+// anchors -> chaining -> dense extension -> gap/SV resolution -> CIGAR/SAM.
+// It is validated bit-identical against the Python host oracle
+// (linear_tpu/map/*), which in turn is differentially validated against the
+// reference binary (tests/difftest.py).
+//
+// ctypes API (see linear_tpu/native/__init__.py engine_lib):
+//   le_create   register genomes/features/index + output config
+//   le_reset    fresh per-task GapParms (reference: per-compute-task state)
+//   le_map_read map one read -> cords + SAM text (buffers live until next call)
+//   le_destroy
+#include "le_common.hpp"
+#include "le_feats.hpp"
+#include "le_hash.hpp"
+#include "le_chain.hpp"
+#include "le_pmp.hpp"
+#include "le_gap.hpp"
+#include "le_gap2.hpp"
+#include "le_gap3.hpp"
+#include "le_out.hpp"
+
+#include <map>
+#include <memory>
+
+using namespace le;
+
+namespace {
+
+const i64 THD_MIN_READ_LEN = 200;  // src/mapper.cpp:430
+
+struct Engine {
+    // genome data (pointers owned by the Python side)
+    std::vector<const u8*> genomes;
+    std::vector<i64> genome_lens;
+    std::vector<Feats> gfeats;
+    std::vector<const Feats*> gfeat_ptrs;
+    std::vector<std::string> genome_ids;
+    DIndexView index;
+    // output config
+    i64 thd_DI = INF60, thd_X = INF60;
+    i64 gap_len_min = 50;  // 0 = gaps off
+    int f_dup = 0;
+    int f_chain = 1;
+    int sequence_sam = 0;
+    int reform_ccs = 0;
+    // per-task gap parms (reference: per-thread GapParms persist across reads)
+    std::map<int, GapParms> parms;
+    // per-call result buffers
+    std::vector<u64> out_cs, out_ce;
+    std::string out_sam;
+    std::vector<u8> rc_buf;
+    Feats f1_buf[2];
+    std::vector<BamLinkRecord> records;
+    std::vector<i64> heads;
+    std::vector<std::string> head_gids;
+
+    GapParms& gap_parms(int tid) {
+        auto it = parms.find(tid);
+        if (it == parms.end()) {
+            GapParms gp;
+            gp.thd_gap_len_min = gap_len_min;
+            gp.f_dup = f_dup;
+            it = parms.emplace(tid, gp).first;
+        }
+        return it->second;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* le_create(i64 n_genomes, const u8** genome_ptrs, const i64* genome_lens,
+                const i32** gfeat_ptrs, const i64* gfeat_rows, const i32* dir,
+                const u64* hs, int span, int weight, i64 thd_DI, i64 thd_X,
+                i64 gap_len_min, int f_dup, int f_chain, int sequence_sam,
+                int reform_ccs, const char** genome_id_strs) {
+    Engine* e = new Engine();
+    e->genomes.assign(genome_ptrs, genome_ptrs + n_genomes);
+    e->genome_lens.assign(genome_lens, genome_lens + n_genomes);
+    e->gfeats.resize(n_genomes);
+    for (i64 g = 0; g < n_genomes; g++)
+        e->gfeats[g].set_external(gfeat_ptrs[g], gfeat_rows[g]);
+    for (i64 g = 0; g < n_genomes; g++) e->gfeat_ptrs.push_back(&e->gfeats[g]);
+    for (i64 g = 0; g < n_genomes; g++) e->genome_ids.push_back(genome_id_strs[g]);
+    e->index.dir = dir;
+    e->index.hs = hs;
+    e->index.span = span;
+    e->index.weight = weight;
+    e->thd_DI = thd_DI;
+    e->thd_X = thd_X;
+    e->gap_len_min = gap_len_min;
+    e->f_dup = f_dup;
+    e->f_chain = f_chain;
+    e->sequence_sam = sequence_sam;
+    e->reform_ccs = reform_ccs;
+    return e;
+}
+
+void le_reset(void* ep) {
+    Engine* e = (Engine*)ep;
+    e->parms.clear();
+}
+
+void le_destroy(void* ep) { delete (Engine*)ep; }
+
+// Map one read. seeds: device-precomputed anchors for the first apx pass
+// (n_seeds < 0 -> host seeding in C++). Returns 0; out pointers are valid
+// until the next le_map_read on this engine.
+int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
+                const u64* seeds, i64 n_seeds, int tid, int do_output,
+                const u64** out_cs, const u64** out_ce, i64* out_n,
+                const char** out_sam, i64* out_sam_len) {
+    Engine* e = (Engine*)ep;
+    e->out_cs.clear();
+    e->out_ce.clear();
+    e->out_sam.clear();
+    if (read_len > THD_MIN_READ_LEN) {
+        // revcomp (src/base.cpp:325 _compltRvseStr)
+        e->rc_buf.resize(read_len);
+        static const u8 comp[5] = {3, 2, 1, 0, 4};
+        for (i64 i = 0; i < read_len; i++)
+            e->rc_buf[i] = comp[read[read_len - 1 - i]];
+        // read features fwd/rc (createFeatures serial, src/mapper.cpp:445)
+        create_features_read(read, read_len, e->f1_buf[0]);
+        create_features_read(e->rc_buf.data(), read_len, e->f1_buf[1]);
+        // apx phase
+        ApxContext acx;
+        acx.index = &e->index;
+        acx.f1 = e->f1_buf;
+        acx.f2 = e->gfeat_ptrs.data();
+        acx.read = read;
+        acx.read_len = read_len;
+        PMPParms pm;
+        pm.seed_anchors = n_seeds >= 0 ? seeds : nullptr;
+        pm.n_seed = n_seeds >= 0 ? n_seeds : 0;
+        std::vector<PII> apx_gaps;
+        std::vector<i64> cords_info;
+        apx_map(acx, e->f_chain, pm, e->out_cs, e->out_ce, apx_gaps, cords_info);
+        // gap phase
+        if (e->gap_len_min > 0) {
+            GapContext gcx;
+            gcx.genomes = e->genomes.data();
+            gcx.genome_lens = e->genome_lens.data();
+            gcx.n_genomes = (i64)e->genomes.size();
+            gcx.read = read;
+            gcx.comstr = e->rc_buf.data();
+            gcx.read_len = read_len;
+            gcx.f1 = e->f1_buf;
+            gcx.f2 = e->gfeat_ptrs.data();
+            map_gaps(gcx, e->out_cs, e->out_ce, e->gap_parms(tid));
+            reform_cords(e->out_cs, e->out_ce);
+        }
+    }
+    // output (print side of p_calRecords, src/mapper.cpp:452-473)
+    if (do_output) {
+        cords2bamlink(e->out_cs, e->out_ce, read_len, 8000, e->thd_DI, e->thd_X,
+                      e->records);
+        if (e->reform_ccs) reform_ccs_bams(e->records);
+        fill_bam_records(e->records, e->genome_ids, e->heads, e->head_gids);
+        if (e->sequence_sam && !e->records.empty())
+            synth_seq(e->records, e->heads, read, e->rc_buf.data(), read_len);
+        sam_lines(e->records, e->heads, e->head_gids, rid, e->out_sam);
+    }
+    *out_cs = e->out_cs.data();
+    *out_ce = e->out_ce.data();
+    *out_n = (i64)e->out_cs.size();
+    *out_sam = e->out_sam.c_str();
+    *out_sam_len = (i64)e->out_sam.size();
+    return 0;
+}
+
+}  // extern "C"

@@ -62,7 +62,9 @@ def upload_index(index) -> DeviceIndex:
     counts = np.diff(index.dir)
     cap = bucket_cap(int(counts.max()) if len(index.hs) else 1)
     return DeviceIndex(
-        dir_start=jnp.asarray(index.dir, dtype=jnp.int64),
+        # int32 dir: halves the HBM gather traffic of the probe (hs length
+        # stays < 2^31 for genomes up to the reference's 2^30-per-seq cap)
+        dir_start=jnp.asarray(index.dir, dtype=jnp.int32),
         hs_lo=jnp.asarray((index.hs & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
         hs_hi=jnp.asarray((index.hs >> np.uint64(32)).astype(np.uint32)),
         cap=cap,
@@ -181,9 +183,9 @@ def _probe_and_anchor(kmat, lens, xval, yval, strand,
     xc = jnp.clip(xl, 0, dir_start.shape[0] - 2)
     lo = dir_start[xc]
     hi = dir_start[xc + 1]
-    cnt = jnp.minimum(hi - lo, cap)
-    ent_idx = lo[:, :, None] + jnp.arange(cap)[None, None, :]          # (B, P, cap)
-    ent_valid = (jnp.arange(cap)[None, None, :] < cnt[:, :, None]) & process[:, :, None]
+    cnt = jnp.minimum(hi - lo, jnp.int32(cap))
+    ent_idx = lo[:, :, None] + jnp.arange(cap, dtype=jnp.int32)[None, None, :]  # (B, P, cap)
+    ent_valid = (jnp.arange(cap, dtype=jnp.int32)[None, None, :] < cnt[:, :, None]) & process[:, :, None]
     ent_idx = jnp.clip(ent_idx, 0, hs_lo.shape[0] - 1)
     e_lo = hs_lo[ent_idx].astype(jnp.uint64)
     e_hi = hs_hi[ent_idx].astype(jnp.uint64)
@@ -212,10 +214,12 @@ def batch_seed_anchors(seqs: jnp.ndarray, lens: jnp.ndarray,
                        thd_alpha: int = THD_ALPHA, cap: int = 32):
     """Batched getDIndexMatchAll (src/pmpfinder.cpp:1856).
 
-    seqs: (B, L) int32 padded read codes; lens: (B,) true lengths.
+    seqs: (B, L) uint8 padded read codes (cast on device — the h2d wire
+    format is 1 byte/base, 4x less tunnel traffic); lens: (B,) true lengths.
     Returns (anchors, valid): (B, P, cap) int64 anchors (host cord format)
     and bool mask, in the C++ emission order.
     """
+    seqs = seqs.astype(jnp.int32)
     B, L = seqs.shape
     h, crh, x = _hash_scan_batch(seqs, span)  # (B, L - span), indexed by k - span
     # call positions: k in [span, read_end - span), sampled at dt == thd_alpha
@@ -239,14 +243,20 @@ def _compact_anchors(anc: jnp.ndarray, keep: jnp.ndarray, m_out: int):
     """Device stream compaction of (B, P, cap) kept anchors into (B, m_out)
     in emission order (position-major, bucket-entry order) — avoids
     shipping the huge padded tensor to the host. Returns (out, count);
-    count > m_out means overflow (caller falls back to host seeding)."""
+    count > m_out means overflow (caller falls back to host seeding).
+
+    Implemented as one stable key/value `lax.sort` (kept entries keyed by
+    flat position, dropped ones pushed past the end): TPU sorts are fast
+    VPU code, while the equivalent scatter lowers to a serialized loop."""
     B = anc.shape[0]
     af = anc.reshape(B, -1)
     kf = keep.reshape(B, -1)
-    pos = jnp.cumsum(kf.astype(jnp.int32), axis=1) - 1
-    idx = jnp.where(kf, pos, m_out)  # drop out-of-range scatters
-    out = jnp.zeros((B, m_out), dtype=anc.dtype)
-    out = jax.vmap(lambda o, i, a: o.at[i].set(a, mode="drop"))(out, idx, af)
+    n = af.shape[1]
+    pos = jnp.arange(n, dtype=jnp.int32)[None, :]
+    keys = jnp.where(kf, pos, jnp.int32(n))
+    keys = jnp.broadcast_to(keys, af.shape)
+    _, svals = jax.lax.sort((keys, af), dimension=1, num_keys=1, is_stable=True)
+    out = svals[:, :m_out]
     count = jnp.sum(kf, axis=1).astype(jnp.int32)
     return out, count
 
@@ -257,7 +267,7 @@ def seed_anchors_dispatch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
     return (comp, count, m_out) device arrays without synchronizing —
     callers dispatch many chunks back-to-back then collect."""
     B = len(reads)
-    seqs = np.zeros((B, pad_len), dtype=np.int32)
+    seqs = np.zeros((B, pad_len), dtype=np.uint8)
     lens = np.zeros((B,), dtype=np.int64)
     for i, r in enumerate(reads):
         n = min(len(r), pad_len)
@@ -411,6 +421,7 @@ def batch_seed_anchors_fast(seqs: jnp.ndarray, lens: jnp.ndarray,
     """Closed-form variant of batch_seed_anchors: exact for N-free reads
     (the host wrapper falls back to the scan kernel when a batch contains N
     bases). ~P sampled gathers instead of an L-step scan."""
+    seqs = seqs.astype(jnp.int32)
     B, L = seqs.shape
     first = span + thd_alpha - 1
     ks = jnp.arange(first, L, thd_alpha, dtype=jnp.int64)

@@ -53,6 +53,14 @@ def _map_chunk(task):
     # runs the chunk (the per-task parms state mirrors the reference's
     # per-thread one at task granularity; see Mapper.gap_parms)
     m.reset_gap_parms()
+    ne = m.native_engine()
+    if ne is not None:
+        out = []
+        for read, rid, s in zip(reads, rids, seeds):
+            cs, ce, sam, bl = m.native_map_read(read, rid, seeds=s,
+                                                collect_bam=collect_bam)
+            out.append((cs, ce, sam, bl))
+        return out
     gens = []
     for read, s, craw in zip(reads, seeds, chain_raws):
         chain_pre = None
@@ -119,7 +127,11 @@ class PipelineMapper:
                     for block in seqio.read_blocks(read_path):
                         if m.device == "tpu":
                             seeds = m._device_seed_block(block)
-                            chain_raw = m._device_chain_block(seeds, raw=True)
+                            # the native engine recomputes the chain DP in
+                            # C++ (bit-identical); skip the device precompute
+                            chain_raw = (m._device_chain_block(seeds, raw=True)
+                                         if not m.use_native()
+                                         else [None] * len(block.seqs))
                         else:
                             seeds = [None] * len(block.seqs)
                             chain_raw = [None] * len(block.seqs)
