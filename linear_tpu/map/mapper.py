@@ -180,11 +180,33 @@ class Mapper:
         return out
 
     def create_features(self) -> None:
-        self.f2 = [
-            PMP.Feats(F.create_features_genome(s, self.cfg.threads)) for s in self.genomes
-        ]
+        from . import nengine as NE
+
+        arrs = None
+        if NE.enabled():
+            arrs = [NE.build_features_native(s, self.cfg.threads)
+                    for s in self.genomes]
+            if any(a is None for a in arrs):
+                arrs = None
+        if arrs is None:
+            arrs = [F.create_features_genome(s, self.cfg.threads)
+                    for s in self.genomes]
+        self.f2 = [PMP.Feats(a) for a in arrs]
 
     def create_index(self) -> None:
+        from . import nengine as NE
+
+        if NE.enabled():
+            nat = NE.build_dindex_native(
+                self.genomes, DI.DEFAULT_SPAN, DI.DEFAULT_WEIGHT,
+                DI.DEFAULT_MIN_STEP, DI.DEFAULT_MAX_STEP,
+                DI.DEFAULT_OMIT_BLOCK, self.cfg.threads)
+            if nat is not None:
+                dirp, hs = nat
+                self.index = DI.DIndex(span=DI.DEFAULT_SPAN,
+                                       weight=DI.DEFAULT_WEIGHT,
+                                       dir=dirp, hs=hs)
+                return
         self.index = DI.build_dindex(self.genomes, threads_emul=self.cfg.threads)
 
     def prepare(self) -> None:

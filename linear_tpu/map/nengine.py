@@ -58,8 +58,62 @@ def engine_lib():
                 C.POINTER(C.c_int64),
                 C.POINTER(C.c_char_p), C.POINTER(C.c_int64),
             ]
+            lib.le_feature_rows.restype = C.c_int64
+            lib.le_feature_rows.argtypes = [C.c_int64, C.c_int64]
+            lib.le_build_features.restype = None
+            lib.le_build_features.argtypes = [C.c_void_p, C.c_int64, C.c_int64,
+                                              C.c_void_p]
+            lib.le_build_index.restype = C.c_void_p
+            lib.le_build_index.argtypes = [
+                C.POINTER(C.c_void_p), C.POINTER(C.c_int64), C.c_int64,
+                C.c_int, C.c_int, C.c_int64, C.c_int64, C.c_int64, C.c_int64,
+                C.c_void_p,
+            ]
+            lib.le_index_hs_len.restype = C.c_int64
+            lib.le_index_hs_len.argtypes = [C.c_void_p]
+            lib.le_index_fetch_hs.restype = None
+            lib.le_index_fetch_hs.argtypes = [C.c_void_p, C.c_void_p]
+            lib.le_index_free.restype = None
+            lib.le_index_free.argtypes = [C.c_void_p]
         _LIB = lib
     return _LIB
+
+
+def build_features_native(seq: np.ndarray, threads: int) -> Optional[np.ndarray]:
+    """Genome feature scripts via the native builder (None if unavailable);
+    identical to ops.features.create_features_genome."""
+    lib = engine_lib()
+    if lib is None or not enabled():
+        return None
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    n = lib.le_feature_rows(len(seq), threads)
+    out = np.empty((n, 3), dtype=np.int32)
+    lib.le_build_features(seq.ctypes.data, len(seq), threads, out.ctypes.data)
+    return out
+
+
+def build_dindex_native(seqs: List[np.ndarray], span: int, weight: int,
+                        min_step: int, max_step: int, omit_block: int,
+                        threads: int):
+    """DIndex tables via the native builder: returns (dir int32, hs uint64)
+    numpy copies, or None if unavailable. Identical to index.dindex's
+    sort-based numpy build (tests/test_nengine.py asserts this)."""
+    lib = engine_lib()
+    if lib is None or not enabled():
+        return None
+    pinned = [np.ascontiguousarray(s, dtype=np.uint8) for s in seqs]
+    n = len(pinned)
+    gptrs = (C.c_void_p * n)(*[g.ctypes.data for g in pinned])
+    glens = (C.c_int64 * n)(*[len(g) for g in pinned])
+    full = (1 << (2 * weight)) + 1
+    dirp = np.zeros(full, dtype=np.int32)  # filled in place by the builder
+    h = lib.le_build_index(gptrs, glens, n, span, weight, min_step, max_step,
+                           omit_block, threads, dirp.ctypes.data)
+    n_hs = lib.le_index_hs_len(h)
+    hs = np.empty(n_hs, dtype=np.uint64)
+    lib.le_index_fetch_hs(h, hs.ctypes.data)
+    lib.le_index_free(h)
+    return dirp, hs
 
 
 def enabled() -> bool:

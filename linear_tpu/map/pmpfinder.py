@@ -83,16 +83,23 @@ class PMPParms:
 
 
 class Feats:
-    """Feature scripts with both numpy and plain-list mirrors."""
+    """Feature scripts with both numpy and plain-list mirrors (the list
+    mirror is built lazily — the native engine path never touches it)."""
 
     def __init__(self, arr: np.ndarray):
         self.arr = arr
-        self.rows: list = arr.tolist()
+        self._rows: list | None = None
         # zero-copy uint32 view for the vectorized window-distance kernels
         self.u32 = np.ascontiguousarray(arr, dtype=np.int32).view(np.uint32)
 
+    @property
+    def rows(self) -> list:
+        if self._rows is None:
+            self._rows = self.arr.tolist()
+        return self._rows
+
     def __len__(self) -> int:
-        return len(self.rows)
+        return len(self.arr)
 
 
 _SHIFTS = np.array([24, 18, 12, 6, 0], dtype=np.uint32)

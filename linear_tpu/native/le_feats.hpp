@@ -53,11 +53,24 @@ static inline i64 n_scripts_serial(i64 len) {
     return 1 + (v > 0 ? v : 0);
 }
 
-// create_features_serial: scripts for one read (serial count). The final
-// script's last 2-mer reads one phantom base past the end, treated as 'A'
-// (zero fill past SeqAn buffers; see ops/features.py).
+// Parallel-builder script count (src/pmpfinder.cpp:596): genomes use this
+// (unless range < threads, src/pmpfinder.cpp:598 — caller decides).
+static inline i64 n_scripts_parallel(i64 len) {
+    if (len < WINDOW48) return 0;
+    return ((len - WINDOW48) >> CELL_BIT) + 1;
+}
+
+// Feature scripts with an explicit row count (values identical between the
+// serial and parallel builders; only the count differs). The final scripts'
+// 2-mers may read one phantom base past the end, treated as 'A' (zero fill
+// past SeqAn buffers; see ops/features.py).
+static inline void create_features_n(const u8* seq, i64 len, i64 n, Feats& out);
+
 static inline void create_features_read(const u8* seq, i64 len, Feats& out) {
-    i64 n = n_scripts_serial(len);
+    create_features_n(seq, len, n_scripts_serial(len), out);
+}
+
+static inline void create_features_n(const u8* seq, i64 len, i64 n, Feats& out) {
     out.own.assign((size_t)(n > 0 ? n * 3 : 0), 0);
     out.rows = out.own.data();
     out.n = n;

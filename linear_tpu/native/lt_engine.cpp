@@ -174,4 +174,99 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
     return 0;
 }
 
+// ------------------------------------------------------------ builders
+// Native genome feature + DIndex builders (analog of createFeatures2_48
+// src/pmpfinder.cpp:589 and createDIndex src/index_util.cpp:1628); validated
+// identical to the numpy builders (linear_tpu/ops/features.py,
+// linear_tpu/index/dindex.py) by tests.
+
+// Genome features: parallel-builder count unless range < threads
+// (src/pmpfinder.cpp:598). out must hold n_rows*3 int32.
+i64 le_feature_rows(i64 seq_len, i64 threads) {
+    i64 rng = n_scripts_parallel(seq_len);
+    return rng < threads ? n_scripts_serial(seq_len) : rng;
+}
+
+void le_build_features(const u8* seq, i64 seq_len, i64 threads, i32* out) {
+    i64 n = le_feature_rows(seq_len, threads);
+    Feats f;
+    create_features_n(seq, seq_len, n, f);
+    if (n > 0) std::memcpy(out, f.rows, (size_t)n * 3 * sizeof(i32));
+}
+
+namespace {
+struct IndexBuild {
+    std::vector<u64> hs;
+};
+}  // namespace
+
+// DIndex build: per-genome thread-block scan (the reference's OpenMP
+// decomposition makes sampling depend on the thread count), counting sort
+// by xval, omit blocks > omit_block. dir_out: caller-allocated (numpy)
+// int32[4^weight + 1], filled in place (268 MB for weight 13 — copies of it
+// are expensive on slow-memory hosts, so there is exactly one buffer).
+// Returns a handle for the hs table; fetch with le_index_fetch_hs, free
+// with le_index_free.
+void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
+                     i64 n_genomes, int span, int weight, i64 min_step,
+                     i64 max_step, i64 omit_block, i64 threads, i32* dir_out) {
+    IndexBuild* b = new IndexBuild();
+    i64 full = (1ll << (2 * weight)) + 1;
+    std::vector<std::pair<i64, u64>> samples;  // (xval, cord)
+    for (i64 gid = 0; gid < n_genomes; gid++) {
+        const u8* seq = genome_ptrs[gid];
+        i64 n = genome_lens[gid];
+        // thread_blocks (src/index_util.cpp:1650): bounds[t] = n/threads*t,
+        // bounds[threads] = n - span; block t scans [b[t]+span, b[t+1]-span)
+        for (i64 t = 0; t < threads; t++) {
+            i64 t_str = n / threads * t + span;
+            i64 t_end = (t + 1 == threads ? n - span : n / threads * (t + 1)) - span;
+            if (t_end <= t_str) continue;
+            HashStream st(span, weight);
+            if (st.init(seq, n, t_str) < 0) continue;
+            i64 count = 0;
+            u64 last_x = ~0ull;
+            i64 last_j = LLMIN / 2;
+            bool have_last = false;
+            for (i64 j = t_str; j < t_end; j++) {
+                st.nexth(seq, j);
+                if (++count <= min_step) continue;
+                count = 0;
+                st.nextx(seq, n, j);
+                if (!have_last || st.xval != last_x || j - last_j > max_step) {
+                    samples.push_back(
+                        {(i64)st.xval,
+                         make_cord(gid, j + (i64)ANCHOR_ZERO, (i64)st.yval,
+                                   st.strand)});
+                    last_x = st.xval;
+                    last_j = j;
+                    have_last = true;
+                }
+            }
+        }
+    }
+    // counting sort with omit filter, in the caller's buffer
+    for (auto& s : samples) dir_out[s.first + 1]++;
+    for (i64 x = 0; x < full - 1; x++)
+        if (dir_out[x + 1] > omit_block) dir_out[x + 1] = 0;
+    for (i64 x = 1; x < full; x++) dir_out[x] += dir_out[x - 1];
+    // bucket-major, value-ascending table (per-bucket std::sort in the ref);
+    // samples of omitted (zeroed) buckets are skipped, so hs lines up with
+    // the prefix-summed dir exactly
+    std::sort(samples.begin(), samples.end());
+    b->hs.reserve(samples.size());
+    for (auto& s : samples)
+        if (dir_out[s.first + 1] - dir_out[s.first] > 0)
+            b->hs.push_back(s.second);
+    return b;
+}
+
+i64 le_index_hs_len(void* bp) { return (i64)((IndexBuild*)bp)->hs.size(); }
+void le_index_fetch_hs(void* bp, u64* hs_out) {
+    IndexBuild* b = (IndexBuild*)bp;
+    if (!b->hs.empty())
+        std::memcpy(hs_out, b->hs.data(), b->hs.size() * sizeof(u64));
+}
+void le_index_free(void* bp) { delete (IndexBuild*)bp; }
+
 }  // extern "C"

@@ -78,6 +78,35 @@ def test_native_matches_python(tmp_path, corpus, gap_len, use_seeds):
         assert sam_n == sam_py, f"SAM mismatch read {k} ({corpus}, g={gap_len})"
 
 
+@pytest.mark.parametrize("threads", [1, 4, 16])
+def test_native_builders_match_numpy(threads):
+    """Native genome-feature and DIndex builders produce tables identical to
+    the numpy builders, incl. N-laced genomes and thread-count-dependent
+    sampling."""
+    from linear_tpu.ops import features as F
+
+    rng = np.random.default_rng(3)
+    g1 = rng.integers(0, 4, 80001).astype(np.uint8)
+    g2 = DT.make_repeat_genome(rng, 60000)
+    # lace g2 with N runs (incl. inside the first hash window of a block)
+    g2[100:130] = 4
+    g2[30000:30007] = 4
+    g2[-40:] = 4
+    for g in (g1, g2):
+        want = F.create_features_genome(g, threads)
+        got = NE.build_features_native(g, threads)
+        assert got is not None and got.shape == want.shape
+        assert np.array_equal(got, want)
+    want_ix = DI.build_dindex([g1, g2], threads_emul=threads)
+    nat = NE.build_dindex_native([g1, g2], DI.DEFAULT_SPAN, DI.DEFAULT_WEIGHT,
+                                 DI.DEFAULT_MIN_STEP, DI.DEFAULT_MAX_STEP,
+                                 DI.DEFAULT_OMIT_BLOCK, threads)
+    assert nat is not None
+    dirp, hs = nat
+    assert np.array_equal(dirp.astype(np.int64), np.asarray(want_ix.dir, dtype=np.int64))
+    assert np.array_equal(hs, want_ix.hs)
+
+
 def test_native_alg1_matches_python(tmp_path):
     """-c 0 (alg 1) path: native vs python (both may differ from the
     reference — tracked separately — but must agree with each other)."""
