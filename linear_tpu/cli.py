@@ -58,6 +58,20 @@ def run_filter(args) -> int:
     if not read_paths or not genome_paths:
         print("E[01]: provide reads and genome files", file=sys.stderr)
         return 1
+    # flags accepted by the reference CLI but not implemented here are
+    # REJECTED rather than silently ignored (HIndex/legacy features are
+    # tracked in ROADMAP.md; silently running a different config is a
+    # correctness trap for downstream users)
+    if args.index_type != 1:
+        print(f"E[11]: index type -i {args.index_type} (HIndex) is not "
+              "implemented yet; only -i 1 (DIndex, the reference default) "
+              "is available", file=sys.stderr)
+        return 1
+    if args.feature_type != 2:
+        print(f"E[12]: feature type -f {args.feature_type} (legacy 1_16/1_32 "
+              "scripts) is not implemented yet; only -f 2 (2_48, the "
+              "reference default) is available", file=sys.stderr)
+        return 1
     cfg = MapperConfig(
         gap_len=args.gap_len,
         apx_chain_flag=args.apx_c_flag,
@@ -74,6 +88,10 @@ def run_filter(args) -> int:
     )
     t0 = time.time()
     mapper = Mapper(genome_paths, cfg, device=args.device)
+    if len(mapper.genomes) >= 1024:
+        # reference guard (src/linear.cpp:106-113): cord genome-id is 10 bits
+        print("E[m01G]: Too many reference genoemes <=1024", file=sys.stderr)
+        return 1
     print(f"--Read genomes  {len(mapper.genomes)} sequences "
           f"{sum(mapper.genome_lens) >> 20} mbases", file=sys.stderr)
     mapper.prepare()
