@@ -9,11 +9,13 @@ files end to end — genome load + feature/index build + mapping + SAM output:
   baseline   the reference binary (.ref_build/linear, cmake build of
              /root/reference) with -t <ncpu>, total wall clock. Measured on
              this machine and cached in .bench_cache/baseline_v2.json.
-  ours       linear_tpu with the TPU device pipeline (seed + chain DP on
-             device) + the process-pool host pipeline, total wall clock.
-             XLA compiles are excluded by a small warm-up file (they are
-             one-time per machine via the persistent compilation cache);
-             everything else, index build included, is in the timed region.
+  ours       linear_tpu's production pipeline: feeder + forked worker pool
+             running the native per-read engine, with the seed stage
+             auto-dispatched between the TPU kernel and the native engine
+             by measured rate (outputs identical either way). XLA compiles
+             are excluded by a small warm-up file (one-time per machine via
+             the persistent compilation cache); everything else, index
+             build included, is in the timed region.
 
 Output parity between the two sides is enforced by tests/difftest.py, so
 this measures identical work.
