@@ -56,6 +56,14 @@ class MapperConfig:
     def thd_X(self) -> int:
         return 200 if self.preset == 1 else BL.INF60
 
+    @property
+    def cah_stop_ratio(self) -> float:
+        """ChainAnchorsHitsParms.thd_stop_chain_len_ratio: its ctor default
+        0.7 survives only for preset 0; presets 1/2 zero it
+        (src/mapper.cpp:174-197 — note every preset uses parm0's MapParms;
+        the parm1/parm2 definitions are dead)."""
+        return 0.7 if self.preset == 0 else 0.0
+
 
 class Mapper:
     """Holds genomes, features, index; maps read blocks."""
@@ -301,7 +309,8 @@ class Mapper:
             gap_len_min=gap_min, f_dup=self.cfg.f_dup,
             f_chain=self.cfg.apx_chain_flag,
             sequence_sam=self.cfg.sequence_sam,
-            reform_ccs=self.cfg.reform_ccs)
+            reform_ccs=self.cfg.reform_ccs,
+            cah_stop_ratio=self.cfg.cah_stop_ratio)
         return self._nengine
 
     def native_map_read(self, read, rid: str, seeds=None, tid: int = 0,
@@ -358,7 +367,8 @@ class Mapper:
             PMP.Feats(F.create_features_serial(read)),
             PMP.Feats(F.create_features_serial(rc)),
         ]
-        pm = PMP.PMPParms(seed_anchors=seed_anchors, chain_pre=chain_pre)
+        pm = PMP.PMPParms(seed_anchors=seed_anchors, chain_pre=chain_pre,
+                          cah_stop_ratio=self.cfg.cah_stop_ratio)
         cords_str, cords_end, apx_gaps, cords_info = yield from PMP.apx_map(
             self.index, read, f1, self.f2, f_chain=self.cfg.apx_chain_flag, pm=pm
         )
@@ -449,8 +459,7 @@ class Mapper:
             BL.reform_ccs_bams(records)
         BL.fill_bam_records(records, self.genome_ids, rid)
         if self.cfg.sequence_sam and records:
-            BL.synth_seq(records, self.genomes[records[0].rID], read,
-                         seqio.revcomp(read))
+            BL.synth_seq(records, self.genomes, read, seqio.revcomp(read))
         sam = "".join(line + "\n" for line in BL.sam_lines(records))
         bam_lines = BAM.records_to_bam_lines(records) if collect_bam else []
         return sam, bam_lines

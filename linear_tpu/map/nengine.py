@@ -41,6 +41,7 @@ def engine_lib():
                 C.c_int64, C.c_int64,           # thd_DI, thd_X
                 C.c_int64,                      # gap_len_min
                 C.c_int, C.c_int, C.c_int, C.c_int,  # f_dup f_chain ss rccs
+                C.c_double,                     # cah_stop_ratio (preset)
                 C.POINTER(C.c_char_p),          # genome ids
             ]
             lib.le_reset.restype = None
@@ -129,7 +130,8 @@ class NativeEngine:
     def __init__(self, genomes: List[np.ndarray], gfeats: List[np.ndarray],
                  index, genome_ids: List[str], thd_DI: int, thd_X: int,
                  gap_len_min: int, f_dup: int, f_chain: int,
-                 sequence_sam: int, reform_ccs: int):
+                 sequence_sam: int, reform_ccs: int,
+                 cah_stop_ratio: float = 0.0):
         lib = engine_lib()
         assert lib is not None
         self._lib = lib
@@ -149,7 +151,7 @@ class NativeEngine:
             self._dir.ctypes.data, self._hs.ctypes.data,
             index.span, index.weight,
             thd_DI, thd_X, gap_len_min, f_dup, f_chain,
-            sequence_sam, reform_ccs, gids)
+            sequence_sam, reform_ccs, cah_stop_ratio, gids)
 
     def __del__(self):
         try:

@@ -352,24 +352,45 @@ static inline void reform_ccs_bams(std::vector<BamLinkRecord>& records,
     }
 }
 
-// cigar2SamSeq (src/align_util.cpp:1434) — SEQ synthesis when sequence_sam
+// cigar2SamSeq (src/align_util.cpp:1434) — SEQ synthesis when sequence_sam.
+// Runtime semantics are f_is_align = options.aln_flag = 0
+// (src/mapper.cpp:282): '='/'M' emit GENOME bases, 'X' emits the read base
+// where it differs else 'N', 'I'/'S' read bases, 'D' advances the genome.
 static inline void synth_seq(std::vector<BamLinkRecord>& records,
-                             const std::vector<i64>& heads, const u8* read,
-                             const u8* rc, i64 read_len) {
+                             const std::vector<i64>& heads,
+                             const u8* const* genomes, const i64* genome_lens,
+                             const u8* read, const u8* rc, i64 read_len) {
     static const char* bases = "ACGTN";
     for (i64 it : heads) {
         BamLinkRecord& rec = records[it];
+        const u8* genome = genomes[rec.rID];
+        i64 glen = genome_lens[rec.rID];
         const u8* src2 = (rec.flag & 16) ? rc : read;
+        i64 i1 = rec.beginPos;
         i64 i2 = 0;
         std::string parts;
         i64 j = it;
         for (;;) {
             for (auto& c : records[j].cigar) {
                 if (c.op == 'D') {
-                } else if (c.op == 'I' || c.op == 'M' || c.op == '=' ||
-                           c.op == 'X' || c.op == 'S') {
+                    i1 += c.count;
+                } else if (c.op == 'I' || c.op == 'S') {
                     for (i64 p = i2; p < i2 + c.count && p < read_len; p++)
                         parts += bases[src2[p]];
+                    i2 += c.count;
+                } else if (c.op == 'M' || c.op == '=') {
+                    for (i64 p = i1; p < i1 + c.count && p < glen; p++)
+                        parts += bases[genome[p]];
+                    i1 += c.count;
+                    i2 += c.count;
+                } else if (c.op == 'X') {
+                    for (i64 k = 0; k < c.count; k++) {
+                        if (i1 + k >= glen || i2 + k >= read_len) break;
+                        u8 g = genome[i1 + k];
+                        u8 r = src2[i2 + k];
+                        parts += (g != r) ? bases[r] : 'N';
+                    }
+                    i1 += c.count;
                     i2 += c.count;
                 } else if (c.op == 'H') {
                     i2 += c.count;

@@ -47,6 +47,9 @@ struct Engine {
     int f_chain = 1;
     int sequence_sam = 0;
     int reform_ccs = 0;
+    // preset: ChainAnchorsHitsParms.thd_stop_chain_len_ratio (0.7 preset 0,
+    // 0 presets 1/2; src/mapper.cpp:174-197)
+    double cah_stop_ratio = 0.0;
     // per-task gap parms (reference: per-thread GapParms persist across reads)
     std::map<int, GapParms> parms;
     // per-call result buffers
@@ -78,7 +81,8 @@ void* le_create(i64 n_genomes, const u8** genome_ptrs, const i64* genome_lens,
                 const i32** gfeat_ptrs, const i64* gfeat_rows, const i32* dir,
                 const u64* hs, int span, int weight, i64 thd_DI, i64 thd_X,
                 i64 gap_len_min, int f_dup, int f_chain, int sequence_sam,
-                int reform_ccs, const char** genome_id_strs) {
+                int reform_ccs, double cah_stop_ratio,
+                const char** genome_id_strs) {
     Engine* e = new Engine();
     e->genomes.assign(genome_ptrs, genome_ptrs + n_genomes);
     e->genome_lens.assign(genome_lens, genome_lens + n_genomes);
@@ -98,6 +102,7 @@ void* le_create(i64 n_genomes, const u8** genome_ptrs, const i64* genome_lens,
     e->f_chain = f_chain;
     e->sequence_sam = sequence_sam;
     e->reform_ccs = reform_ccs;
+    e->cah_stop_ratio = cah_stop_ratio;
     return e;
 }
 
@@ -136,6 +141,7 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
         acx.read = read;
         acx.read_len = read_len;
         PMPParms pm;
+        pm.cah_stop_ratio = e->cah_stop_ratio;
         pm.seed_anchors = n_seeds >= 0 ? seeds : nullptr;
         pm.n_seed = n_seeds >= 0 ? n_seeds : 0;
         std::vector<PII> apx_gaps;
@@ -163,7 +169,8 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
         if (e->reform_ccs) reform_ccs_bams(e->records);
         fill_bam_records(e->records, e->genome_ids, e->heads, e->head_gids);
         if (e->sequence_sam && !e->records.empty())
-            synth_seq(e->records, e->heads, read, e->rc_buf.data(), read_len);
+            synth_seq(e->records, e->heads, e->genomes.data(),
+                      e->genome_lens.data(), read, e->rc_buf.data(), read_len);
         sam_lines(e->records, e->heads, e->head_gids, rid, e->out_sam);
     }
     *out_cs = e->out_cs.data();

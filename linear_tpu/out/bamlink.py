@@ -427,17 +427,20 @@ def reform_ccs_bams(records: List[BamLinkRecord], thd_rcb_xy: int = 15) -> None:
             it = records[it].next_id
 
 
-def synth_seq(records: List[BamLinkRecord], genome: "np.ndarray",
-              read: "np.ndarray", rc: "np.ndarray", f_is_align: int = 1) -> None:
+def synth_seq(records: List[BamLinkRecord], genomes: List["np.ndarray"],
+              read: "np.ndarray", rc: "np.ndarray", f_is_align: int = 0) -> None:
     """cigar2SamSeq over each head line (src/align_util.cpp:1434,
-    fillBamRecordLinkRecords :762-788): synthesize the SEQ field when
-    sequence_sam is enabled. f_is_align=1 is the runtime default
-    (FIOParms ctor src/f_io.cpp:21): read bases for I/M/=/X/S, skip D/H."""
-    import numpy as _np
-
+    fillBamRecordLinkRecords :745-788): synthesize the SEQ field when
+    sequence_sam is enabled. The runtime default is f_is_align =
+    options.aln_flag = 0 (src/mapper.cpp:282): '='/'M' emit GENOME bases,
+    'X' emits the read base where it differs from the genome else 'N',
+    'I'/'S' emit read bases, 'D' advances the genome, 'H' the read.
+    (The f_is_align=1 branch belongs to the -a align path, dead in the
+    reference CLI.)"""
     bases = "ACGTN"
     for it in heads_of(records):
         rec = records[it]
+        genome = genomes[rec.rID]
         src2 = rc if rec.flag & 16 else read
         i1 = rec.beginPos
         i2 = 0
@@ -447,11 +450,27 @@ def synth_seq(records: List[BamLinkRecord], genome: "np.ndarray",
             for c in records[j].cigar:
                 if c.op == 'D':
                     i1 += c.count
-                elif c.op in ('I', 'M', '=', 'X', 'S'):
+                elif c.op == 'I' or c.op == 'S':
                     seg = src2[i2: i2 + c.count]
                     parts.append("".join(bases[b] for b in seg))
-                    if c.op not in ('I', 'S'):
-                        i1 += c.count
+                    i2 += c.count
+                elif c.op in ('M', '='):
+                    if f_is_align:
+                        seg = src2[i2: i2 + c.count]
+                    else:
+                        seg = genome[i1: i1 + c.count]
+                    parts.append("".join(bases[b] for b in seg))
+                    i1 += c.count
+                    i2 += c.count
+                elif c.op == 'X':
+                    if f_is_align:
+                        parts.append("".join(bases[b] for b in src2[i2: i2 + c.count]))
+                    else:
+                        for k in range(c.count):
+                            g = genome[i1 + k]
+                            r = src2[i2 + k]
+                            parts.append(bases[r] if g != r else 'N')
+                    i1 += c.count
                     i2 += c.count
                 elif c.op == 'H':
                     i2 += c.count

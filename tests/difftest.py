@@ -119,7 +119,8 @@ def run_reference(reads_fa, genome_fa, out_prefix, threads, gap_len, extra=()):
     return out_prefix + ".sam", out_prefix + ".apf"
 
 
-def run_ours(reads_fa, genome_fa, out_prefix, threads, gap_len, task_split=0):
+def run_ours(reads_fa, genome_fa, out_prefix, threads, gap_len, task_split=0,
+             preset=1, f_dup=0, sequence_sam=0):
     """task_split emulates the reference pipeline's task granularity: with
     threads > 1 and gaps on, the reference's task->thread race has two
     stable outcomes on a 2-core host — one compute task holding the whole
@@ -129,7 +130,9 @@ def run_ours(reads_fa, genome_fa, out_prefix, threads, gap_len, task_split=0):
     from linear_tpu.map.mapper import Mapper, MapperConfig
 
     m = Mapper([genome_fa], MapperConfig(gap_len=gap_len, threads=threads,
-                                         read_group="", sample_name=""))
+                                         read_group="", sample_name="",
+                                         preset=preset, f_dup=f_dup,
+                                         sequence_sam=sequence_sam))
     m.prepare()
     sam_path = out_prefix + ".sam"
     apf_path = out_prefix + ".apf"

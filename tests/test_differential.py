@@ -40,6 +40,31 @@ def test_sam_apf_bit_identical(tmp_path, seed, n_reads, gap_len):
 
 
 @needs_ref
+@pytest.mark.parametrize("preset,f_dup,sequence_sam,extra", [
+    (0, 0, 0, ("-p", "0")),
+    (2, 0, 0, ("-p", "2")),
+    (1, 1, 0, ("-dup", "1")),
+    (1, 0, 1, ("-ss", "1")),
+])
+def test_flag_bit_identical(tmp_path, preset, f_dup, sequence_sam, extra):
+    """Differential coverage of the remaining CLI-reachable flags: presets
+    -p 0/2 (stop_chain_len_ratio + thd_DI/thd_X wiring, src/mapper.cpp:174),
+    -dup 1 (try_dup addon), -ss 1 (SEQ synthesis)."""
+    rng = np.random.default_rng(4242)
+    genomes = [DT.make_repeat_genome(rng, 150000)]
+    genome_fa = str(tmp_path / "g.fa")
+    reads_fa = str(tmp_path / "r.fa")
+    seqio.write_fasta(genome_fa, ["chr0 rep"], genomes)
+    reads = DT.simulate(rng, genomes, 24)
+    seqio.write_fasta(reads_fa, [f"read{i} sim" for i in range(len(reads))], reads)
+    ref_sam, _ = DT.run_reference(reads_fa, genome_fa, str(tmp_path / "ref"),
+                                  1, 50, extra=extra)
+    my_sam, _ = DT.run_ours(reads_fa, genome_fa, str(tmp_path / "mine"), 1, 50,
+                            preset=preset, f_dup=f_dup, sequence_sam=sequence_sam)
+    assert open(ref_sam).read() == open(my_sam).read()
+
+
+@needs_ref
 @pytest.mark.parametrize("seed,threads,gap_len", [
     (20260818, 1, 0), (20260818, 4, 0), (20260818, 4, 50),
     (5150, 1, 50), (909, 4, 50),
