@@ -62,10 +62,9 @@ def run_filter(args) -> int:
     # REJECTED rather than silently ignored (HIndex/legacy features are
     # tracked in ROADMAP.md; silently running a different config is a
     # correctness trap for downstream users)
-    if args.index_type != 1:
-        print(f"E[11]: index type -i {args.index_type} (HIndex) is not "
-              "implemented yet; only -i 1 (DIndex, the reference default) "
-              "is available", file=sys.stderr)
+    if args.index_type not in (1, 2):
+        print(f"E[11]: unknown index type -i {args.index_type}; use 1 "
+              "(DIndex, default) or 2 (HIndex)", file=sys.stderr)
         return 1
     if args.feature_type != 2:
         print(f"E[12]: feature type -f {args.feature_type} (legacy 1_16/1_32 "
@@ -77,6 +76,7 @@ def run_filter(args) -> int:
         apx_chain_flag=args.apx_c_flag,
         output_type=args.output_type,
         threads=args.thread,
+        index_type=args.index_type,
         preset=args.preset,
         read_group=args.read_group,
         sample_name=args.sample_name,

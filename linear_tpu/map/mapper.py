@@ -204,6 +204,12 @@ class Mapper:
     def create_index(self) -> None:
         from . import nengine as NE
 
+        if self.cfg.index_type == 2:
+            from ..index import hindex as HI
+
+            self.index = HI.build_hindex(self.genomes,
+                                         threads_emul=self.cfg.threads)
+            return
         if NE.enabled():
             nat = NE.build_dindex_native(
                 self.genomes, DI.DEFAULT_SPAN, DI.DEFAULT_WEIGHT,
@@ -286,7 +292,7 @@ class Mapper:
         usable before/without instantiating it)."""
         from . import nengine as NE
 
-        return NE.enabled() and not self.cfg.aln_flag
+        return NE.enabled() and not self.cfg.aln_flag and self.cfg.index_type == 1
 
     def native_engine(self):
         """The per-process native engine (lt_engine), or None. Created
@@ -299,7 +305,8 @@ class Mapper:
             return self._nengine
         from . import nengine as NE
 
-        if not NE.enabled() or self.cfg.aln_flag or self.index is None:
+        if (not NE.enabled() or self.cfg.aln_flag or self.index is None
+                or self.cfg.index_type != 1):
             return None
         g = self.cfg.gap_len
         gap_min = 0 if not g else (50 if g == 1 else (10 if g < 10 else g))
@@ -401,7 +408,7 @@ class Mapper:
         sam_parts: List[str] = []
         bam_lines: List[dict] = []
         ne = self.native_engine()
-        if self.device == "tpu":
+        if self.device == "tpu" and self.cfg.index_type == 1:
             pre = self._device_seed_block(reads)
             chain_pre = (self._device_chain_block(pre)
                          if ne is None else [None] * len(reads.seqs))

@@ -889,12 +889,17 @@ def mn_map_read_list(
     alg_type: int,
     pm: PMPParms,
 ) -> None:
-    """mnMapReadList (src/pmpfinder.cpp:2560) for the DIndex path."""
+    """mnMapReadList (src/pmpfinder.cpp:2560): DIndex or HIndex seeding."""
     from ..index import dindex as DI
+    from ..index import hindex as HI
 
     read_str = cy(map_str)
     read_end = cy(map_end)
-    if (pm.seed_anchors is not None and read_str == 0 and pm.thd_alpha == 15
+    if isinstance(index, HI.HIndex):
+        got = HI.query_anchors(index, read, map_str, map_end,
+                               thd_alpha=pm.thd_alpha)
+        anchors.extend(int(a) for a in got)
+    elif (pm.seed_anchors is not None and read_str == 0 and pm.thd_alpha == 15
             and read_end >= len(read)):
         anchors.extend(pm.seed_anchors)
     else:
@@ -990,7 +995,10 @@ def apx_map(
         sen_thr = pm.apx_sen / thd_cord_size
         alg_type = 1
         map_str = 0
-        map_end = make_cord(MAX_CORD_ID, MAX_CORD_X, read_len, 0)
+        # the reference passes length(read) as a PLAIN int here (:2779), not
+        # a cord — its x/id field is 0, which matters for the HIndex's
+        # [getCordX(map_str), getCordX(map_end)) sa window
+        map_end = read_len
         yield from apx_map_(index, read, hits, f1, f2, cords_str, cords_info, map_str, map_end, alg_type, pm)
         if get_max_len(cords_str) < read_len * sen_thr:
             cords_str.clear()

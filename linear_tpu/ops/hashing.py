@@ -102,6 +102,38 @@ class HashStream:
         self.left = int(seq[it])
         return self.h if self.x < 0 else self.crh
 
+    def next_full(self, seq: np.ndarray, it: int) -> int:
+        """hashNext (src/shape_extend.cpp:132-168): rolls h/crh/x AND
+        computes XValue/strand plus the FULL remainder-encoded YValue
+        (hashNextXY semantics, not nextx's 4-adjacent-bases YValue).
+        Used by the HIndex build stream (__createHsArray)."""
+        s, w = self.span, self.weight
+        span2, weight2 = 2 * s, 2 * w
+        mask = mask_bits(span2 - 2)
+        v2 = int(seq[it + s - 1])
+        self.h = (((self.h & mask) << 2) + v2) & mask_bits(64)
+        self.crh = (((self.crh >> 2) & mask)
+                    + (((3 - v2) & mask_bits(64)) << (span2 - 2))) & mask_bits(64)
+        self.xval = mask_bits(span2)
+        self.x += (v2 - self.left) << 1
+        self.left = int(seq[it])
+        if self.x > 0:
+            v = self.h
+            self.strand = 0
+        else:
+            v = self.crh
+            self.strand = 1
+        t = 0
+        for k in range(64 - span2, 64 - weight2 + 1, 2):
+            v1 = ((v << k) & mask_bits(64)) >> (64 - weight2)
+            if self.xval > v1:
+                self.xval = v1
+                t = k
+        self.yval = (((v >> (64 - t)) << (64 - t - weight2))
+                     + (v & mask_bits(64 - t - weight2))
+                     + (t << (span2 - weight2 - 1)))
+        return self.xval
+
     def nextx(self, seq: np.ndarray, it: int) -> int:
         """hashNextX = hashNextXX + hashNextXY2 (src/shape_extend.cpp:341)."""
         s, w = self.span, self.weight
@@ -220,6 +252,33 @@ def minimizer_xy(
         add = np.where((val >= 0) & (val <= 3), val, 0)
         yval = (yval << 2) + add
     return xval.astype(np.int64), yval, strand
+
+
+def minimizer_x_yfull(
+    h: np.ndarray, crh: np.ndarray, x: np.ndarray, span: int, weight: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized hashNext X/Y tail (src/shape_extend.cpp:146-167): XValue
+    minimizer plus the FULL remainder-encoded YValue (hashNextXY formula),
+    as stored by the HIndex build. Returns (xval, yval, strand)."""
+    span2, weight2 = 2 * span, 2 * weight
+    v2 = np.where(x > 0, h, crh)
+    strand = (x <= 0).astype(np.int64)
+    xval = np.full(len(h), mask_bits(span2), dtype=U64)
+    t = np.zeros(len(h), dtype=np.int64)
+    for idx in range(span - weight + 1):
+        k = 64 - span2 + 2 * idx
+        v1 = (v2 << U64(k)) >> U64(64 - weight2)
+        better = v1 < xval
+        xval = np.where(better, v1, xval)
+        t = np.where(better, k, t)
+    tu = t.astype(U64)
+    rem_bits = U64(64) - tu - U64(weight2)
+    yval = (
+        ((v2 >> (U64(64) - tu)) << rem_bits)
+        + (v2 & ((U64(1) << rem_bits) - U64(1)))
+        + (tu << U64(span2 - weight2 - 1))
+    )
+    return xval.astype(np.int64), yval.astype(np.int64), strand
 
 
 @dataclass
