@@ -80,7 +80,10 @@ def run_filter(args) -> int:
         preset=args.preset,
         read_group=args.read_group,
         sample_name=args.sample_name,
-        cmd_line=" ".join(sys.argv[1:]),
+        # reference quirk: Options ctor guards cmd_line building with
+        # `if (length(argv) < 1)` (src/base.cpp:64) which is never true,
+        # so the @PG CL: tag is ALWAYS empty in the reference's output
+        cmd_line="",
         sequence_sam=args.sequence_sam,
         reform_ccs=args.reform_ccs_cigar_flag,
         f_dup=args.duplication,

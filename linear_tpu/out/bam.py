@@ -43,11 +43,14 @@ def bgzf_compress(data: bytes, block: int = 60000) -> bytes:
 
 
 def encode_bam_header(header_text: str, ref_names: List[str], ref_lens: List[int]) -> bytes:
+    """Reference quirk: printAlignBamHeader (src/f_io.cpp:509-523) writes
+    through a BamFileOut whose context comes from an unrelated, EMPTY
+    BamFileIn — so n_ref is 0 and no reference dictionary is emitted even
+    though records carry rIDs.  Mirrored for byte-identity (the @SQ lines in
+    the text header carry the contig info downstream tools use)."""
+    del ref_names, ref_lens
     parts = [b"BAM\x01", struct.pack("<i", len(header_text)), header_text.encode()]
-    parts.append(struct.pack("<i", len(ref_names)))
-    for name, ln in zip(ref_names, ref_lens):
-        nb = name.encode() + b"\x00"
-        parts.append(struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln))
+    parts.append(struct.pack("<i", 0))
     return b"".join(parts)
 
 

@@ -65,6 +65,78 @@ def test_flag_bit_identical(tmp_path, preset, f_dup, sequence_sam, extra):
 
 
 @needs_ref
+@pytest.mark.parametrize("ot,ss", [(4, 0), (8, 0), (15, 0), (4, 1)])
+def test_bam_byte_identical(tmp_path, ot, ss):
+    """Binary BAM outputs (-ot 4 standard, 8 pbsv, 15 all four) compared
+    BYTE-IDENTICAL after BGZF decompression (the BGZF container block split
+    is a container detail; the BAM payload is what downstream tools parse).
+    Covers the reference's n_ref=0 header quirk (src/f_io.cpp:509-523 writes
+    through an empty BamFileIn context) and the always-empty @PG CL: tag
+    (src/base.cpp:64 guard is never true)."""
+    import gzip
+
+    rng = np.random.default_rng(99)
+    genomes = [rng.integers(0, 4, 120000).astype(np.uint8) for _ in range(2)]
+    genome_fa = str(tmp_path / "g.fa")
+    reads_fa = str(tmp_path / "r.fa")
+    seqio.write_fasta(genome_fa, ["chrA x", "chrB y"], genomes)
+    reads = DT.simulate(rng, genomes, 24)
+    seqio.write_fasta(reads_fa, [f"read{i} sim" for i in range(len(reads))], reads)
+    extra = ("-ss", "1") if ss else ()
+    subprocess.run(
+        [os.path.abspath(DT.REF_BIN), "filter", reads_fa, genome_fa, "-t", "1",
+         "-g", "50", "-o", str(tmp_path / "ref"), "-ot", str(ot), *extra],
+        check=True, capture_output=True, cwd=str(tmp_path))
+    env = dict(os.environ, PYTHONPATH=os.path.join(os.path.dirname(__file__), ".."))
+    subprocess.run(
+        [sys.executable, "-m", "linear_tpu", "filter", reads_fa, genome_fa,
+         "-t", "1", "-g", "50", "-o", str(tmp_path / "mine"), "-ot", str(ot),
+         "-b", "0", *extra],
+        check=True, capture_output=True, cwd=str(tmp_path), env=env)
+    if ot & 4:
+        a = gzip.open(str(tmp_path / "ref.bam"), "rb").read()
+        b = gzip.open(str(tmp_path / "mine.bam"), "rb").read()
+        assert a == b
+    if ot & 8:
+        a = gzip.open(str(tmp_path / "ref_pbsv.bam"), "rb").read()
+        b = gzip.open(str(tmp_path / "mine_pbsv.bam"), "rb").read()
+        assert a == b
+    if ot & 2:
+        assert (tmp_path / "ref.sam").read_text() == (tmp_path / "mine.sam").read_text()
+    if ot & 1:
+        strip = lambda p: [l for l in open(p).read().splitlines() if l.strip()]
+        assert strip(str(tmp_path / "ref.apf")) == strip(str(tmp_path / "mine.apf"))
+
+
+@needs_ref
+@pytest.mark.parametrize("corpus,seed,gap_len", [
+    ("uniform", 31, 0), ("uniform", 31, 50),
+    ("repeat", 20260819, 0), ("repeat", 20260819, 50),
+])
+def test_hindex_bit_identical(tmp_path, corpus, seed, gap_len):
+    """-i 2 (HIndex, 17-mer sorted-array + open-addressing dir): differential
+    vs the reference binary (src/index_util.cpp:844-1468, getHIndexMatchAll
+    src/pmpfinder.cpp:1918-1978)."""
+    rng = np.random.default_rng(seed)
+    if corpus == "repeat":
+        genomes = [DT.make_repeat_genome(rng, 150000)]
+    else:
+        genomes = [rng.integers(0, 4, 120000).astype(np.uint8) for _ in range(2)]
+    genome_fa = str(tmp_path / "g.fa")
+    reads_fa = str(tmp_path / "r.fa")
+    seqio.write_fasta(genome_fa, [f"chr{i} s" for i in range(len(genomes))], genomes)
+    reads = DT.simulate(rng, genomes, 24)
+    seqio.write_fasta(reads_fa, [f"read{i} sim" for i in range(len(reads))], reads)
+    ref_sam, ref_apf = DT.run_reference(reads_fa, genome_fa, str(tmp_path / "ref"),
+                                        1, gap_len, extra=("-i", "2"))
+    my_sam, my_apf = DT.run_ours(reads_fa, genome_fa, str(tmp_path / "mine"),
+                                 1, gap_len, index_type=2)
+    assert open(ref_sam).read() == open(my_sam).read()
+    strip = lambda p: [l for l in open(p).read().splitlines() if l.strip()]
+    assert strip(ref_apf) == strip(my_apf)
+
+
+@needs_ref
 @pytest.mark.parametrize("seed,threads,gap_len", [
     (20260818, 1, 0), (20260818, 4, 0), (20260818, 4, 50),
     (5150, 1, 50), (909, 4, 50),
