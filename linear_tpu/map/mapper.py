@@ -107,7 +107,11 @@ class Mapper:
             batch = [reads.seqs[i] for i in chunk]
             if len(batch) < self.DEV_BATCH:
                 batch = batch + [np.zeros(1, dtype=np.uint8)] * (self.DEV_BATCH - len(batch))
-            pending.append((chunk, SD.seed_anchors_dispatch(batch, self._dev_index, pad_len=pad)))
+            # m_out=256 bounds the per-chunk d2h transfer (the whole
+            # (anchors, counts) result moves in ONE round trip); reads with
+            # more probed entries fall back to native host seeding
+            pending.append((chunk, SD.seed_anchors_dispatch(
+                batch, self._dev_index, pad_len=pad, m_out=256)))
         for chunk, disp in pending:
             anchors = SD.seed_anchors_collect(disp, len(chunk))
             for i, a in zip(chunk, anchors):

@@ -33,8 +33,8 @@ def _build(name: str) -> str | None:
         return so
     try:
         subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", src, "-lz",
-             "-o", so + ".tmp"],
+            ["g++", "-O3", "-std=c++17", "-fopenmp", "-shared", "-fPIC", src,
+             "-lz", "-o", so + ".tmp"],
             check=True, capture_output=True, timeout=240,
         )
         os.replace(so + ".tmp", so)

@@ -219,47 +219,78 @@ void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
                      i64 max_step, i64 omit_block, i64 threads, i32* dir_out) {
     IndexBuild* b = new IndexBuild();
     i64 full = (1ll << (2 * weight)) + 1;
-    std::vector<std::pair<i64, u64>> samples;  // (xval, cord)
-    for (i64 gid = 0; gid < n_genomes; gid++) {
+    // The (gid, t) thread-blocks are independent scans whose union is
+    // canonicalized by the final value sort, so they can run on real
+    // hardware threads regardless of the `threads` sampling parameter
+    // (which only fixes the reference's omp block BOUNDS,
+    // src/index_util.cpp:1650).
+    std::vector<std::pair<i64, i64>> blocks;  // (gid, t)
+    for (i64 gid = 0; gid < n_genomes; gid++)
+        for (i64 t = 0; t < threads; t++) blocks.push_back({gid, t});
+    std::vector<std::vector<std::pair<i64, u64>>> parts(blocks.size());
+#pragma omp parallel for schedule(dynamic)
+    for (size_t bi = 0; bi < blocks.size(); bi++) {
+        i64 gid = blocks[bi].first, t = blocks[bi].second;
         const u8* seq = genome_ptrs[gid];
         i64 n = genome_lens[gid];
         // thread_blocks (src/index_util.cpp:1650): bounds[t] = n/threads*t,
         // bounds[threads] = n - span; block t scans [b[t]+span, b[t+1]-span)
-        for (i64 t = 0; t < threads; t++) {
-            i64 t_str = n / threads * t + span;
-            i64 t_end = (t + 1 == threads ? n - span : n / threads * (t + 1)) - span;
-            if (t_end <= t_str) continue;
-            HashStream st(span, weight);
-            if (st.init(seq, n, t_str) < 0) continue;
-            i64 count = 0;
-            u64 last_x = ~0ull;
-            i64 last_j = LLMIN / 2;
-            bool have_last = false;
-            for (i64 j = t_str; j < t_end; j++) {
-                st.nexth(seq, j);
-                if (++count <= min_step) continue;
-                count = 0;
-                st.nextx(seq, n, j);
-                if (!have_last || st.xval != last_x || j - last_j > max_step) {
-                    samples.push_back(
-                        {(i64)st.xval,
-                         make_cord(gid, j + (i64)ANCHOR_ZERO, (i64)st.yval,
-                                   st.strand)});
-                    last_x = st.xval;
-                    last_j = j;
-                    have_last = true;
-                }
+        i64 t_str = n / threads * t + span;
+        i64 t_end = (t + 1 == threads ? n - span : n / threads * (t + 1)) - span;
+        if (t_end <= t_str) continue;
+        HashStream st(span, weight);
+        if (st.init(seq, n, t_str) < 0) continue;
+        auto& samples = parts[bi];
+        samples.reserve((t_end - t_str) / (min_step + 1) + 16);
+        i64 count = 0;
+        u64 last_x = ~0ull;
+        i64 last_j = LLMIN / 2;
+        bool have_last = false;
+        for (i64 j = t_str; j < t_end; j++) {
+            st.nexth(seq, j);
+            if (++count <= min_step) continue;
+            count = 0;
+            st.nextx(seq, n, j);
+            if (!have_last || st.xval != last_x || j - last_j > max_step) {
+                samples.push_back(
+                    {(i64)st.xval,
+                     make_cord(gid, j + (i64)ANCHOR_ZERO, (i64)st.yval,
+                               st.strand)});
+                last_x = st.xval;
+                last_j = j;
+                have_last = true;
             }
         }
     }
+    size_t total = 0;
+    for (auto& p : parts) total += p.size();
+    std::vector<std::pair<i64, u64>> samples;
+    samples.reserve(total);
+    for (auto& p : parts) {
+        samples.insert(samples.end(), p.begin(), p.end());
+        p.clear();
+        p.shrink_to_fit();
+    }
+    // sequential prefault of the (lazily zero-mapped numpy) table: random
+    // first-touch during the histogram leaves a sparse fault pattern that
+    // slows the streaming prefix pass ~2x (measured on the bench host)
+#pragma omp parallel for schedule(static)
+    for (i64 x = 0; x < full; x += 1024) dir_out[x] = 0;
     // counting sort with omit filter, in the caller's buffer
     for (auto& s : samples) dir_out[s.first + 1]++;
-    for (i64 x = 0; x < full - 1; x++)
-        if (dir_out[x + 1] > omit_block) dir_out[x + 1] = 0;
-    for (i64 x = 1; x < full; x++) dir_out[x] += dir_out[x - 1];
-    // bucket-major, value-ascending table (per-bucket std::sort in the ref);
-    // samples of omitted (zeroed) buckets are skipped, so hs lines up with
-    // the prefix-summed dir exactly
+    // fused omit + prefix sum over the 4^weight-entry table in ONE
+    // streaming pass (the original separate omit and prefix passes each
+    // streamed the 268 MB table; and OS page-fault serialization makes
+    // chunk-parallel variants SLOWER inside the host process, measured)
+    {
+        i64 acc = 0;
+        for (i64 x = 1; x < full; x++) {
+            i32 v = dir_out[x];
+            if (v > omit_block) v = 0;
+            acc += v;
+            dir_out[x] = (i32)acc;
+        }
+    }
     std::sort(samples.begin(), samples.end());
     b->hs.reserve(samples.size());
     for (auto& s : samples)

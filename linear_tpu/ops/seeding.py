@@ -289,16 +289,26 @@ def _probe_compact(kmat, lens, xval, yval, strand, dir_start, hs_lo, hs_hi,
     return anc.astype(jnp.int64), keep, probed
 
 
-@partial(jax.jit, static_argnames=("span", "weight", "thd_alpha", "cap", "m_out"))
+@partial(jax.jit, static_argnames=("span", "weight", "thd_alpha", "cap", "m_out", "packed"))
 def batch_seed_anchors_compact(seqs: jnp.ndarray, lens: jnp.ndarray,
                                dir_start: jnp.ndarray, hs_lo: jnp.ndarray,
                                hs_hi: jnp.ndarray, span: int = SPAN,
                                weight: int = WEIGHT, thd_alpha: int = THD_ALPHA,
-                               cap: int = 32, m_out: int = 8192):
+                               cap: int = 32, m_out: int = 8192,
+                               packed: bool = False):
     """Closed-form seeding + compact probe + ordered squeeze, fused in one
     kernel: returns (out (B, m_out) anchors in emission order, kept count,
     probed count). N-free reads only (callers fall back to the scan+padded
-    kernel when the batch contains N)."""
+    kernel when the batch contains N).
+
+    packed=True: seqs is (B, L//4) uint8 with 4 bases per byte (LSB-first
+    2-bit codes) — the h2d wire format is 4x smaller, which matters on
+    latency/bandwidth-constrained links; unpacking is free VPU work."""
+    if packed:
+        # (B, L//4) u8 -> (B, L) int32, base i at bits 2*(i%4)
+        b = seqs.astype(jnp.int32)
+        seqs = jnp.stack([(b >> (2 * i)) & 3 for i in range(4)],
+                         axis=-1).reshape(b.shape[0], -1)
     seqs = seqs.astype(jnp.int32)
     B, L = seqs.shape
     first = span + thd_alpha - 1
@@ -349,7 +359,10 @@ def seed_anchors_dispatch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
                           thd_alpha: int = THD_ALPHA, m_out: int = 1024):
     """Async phase of seed_anchors_batch: enqueue the device work and
     return (comp, count, m_out) device arrays without synchronizing —
-    callers dispatch many chunks back-to-back then collect."""
+    callers dispatch many chunks back-to-back then collect.
+
+    N-free batches ship 2-bit packed (4 bases/byte) and take the fused
+    closed-form kernel; N-containing batches take the exact scan kernel."""
     B = len(reads)
     seqs = np.zeros((B, pad_len), dtype=np.uint8)
     lens = np.zeros((B,), dtype=np.int64)
@@ -358,10 +371,14 @@ def seed_anchors_dispatch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
         seqs[i, :n] = r[:n]
         lens[i] = n
     if not (seqs == 4).any():
+        # LSB-first 2-bit pack: base i of each 4-group at bits 2*(i%4)
+        s4 = seqs.reshape(B, -1, 4).astype(np.uint16)
+        packed = (s4[:, :, 0] | (s4[:, :, 1] << 2) | (s4[:, :, 2] << 4)
+                  | (s4[:, :, 3] << 6)).astype(np.uint8)
         comp, count, probed = batch_seed_anchors_compact(
-            jnp.asarray(seqs), jnp.asarray(lens),
+            jnp.asarray(packed), jnp.asarray(lens),
             dindex_dev.dir_start, dindex_dev.hs_lo, dindex_dev.hs_hi,
-            thd_alpha=thd_alpha, cap=dindex_dev.cap, m_out=m_out)
+            thd_alpha=thd_alpha, cap=dindex_dev.cap, m_out=m_out, packed=True)
         # overflow when the probe enumerated more than m_out entries
         count = jnp.where(probed > m_out, jnp.int32(m_out + 1), count)
         return comp, count, m_out
@@ -376,13 +393,14 @@ def seed_anchors_dispatch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
 
 def seed_anchors_collect(dispatched, n_reads: int) -> list:
     """Sync phase: per-read anchor lists (ints) in the C++ emission order;
-    None entries for reads overflowing m_out (host fallback)."""
+    None entries for reads overflowing m_out (host fallback).
+
+    One device_get for (anchors, counts) together: on a high-latency link
+    every extra sync costs a full round trip, so the count-then-slice
+    two-step is a net loss — m_out bounds the transfer instead."""
     comp, count, m_out = dispatched
-    # device->host bandwidth is the scarce resource (tunneled TPU): pull the
-    # counts first, slice the device buffer to the true max, then transfer
-    count = np.asarray(count)
-    m = int(min(max(int(count.max()), 1), m_out))
-    comp = np.asarray(comp[:, :m]).astype(np.uint64)
+    comp, count = jax.device_get((comp, count))
+    comp = comp.astype(np.uint64)
     out = []
     for i in range(n_reads):
         if count[i] > m_out:
