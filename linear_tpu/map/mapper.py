@@ -80,12 +80,19 @@ class Mapper:
         self.f2: List[PMP.Feats] = []
         self.index: Optional[DI.DIndex] = None
         self._dev_index = None
+        self._dev_gfeats = None
+        # per-emulated-thread PMPParms toggle leak (see PMPParms.did_toggle):
+        # True once any earlier read on that thread ran the re-apx/retry
+        # path, leaving the persistent parms in toggle(0) state
+        self._pmp_toggled: dict = {}
         self._gap_parms = {}
         self._nengine = None  # lazy per-process native engine (lt_engine)
 
     # fixed device batch size: keeps the jitted kernel shapes constant
     # across blocks (one compile per (B, pad) bucket, persistent-cached)
     DEV_BATCH = 256
+    # hits cap of the device extension phase (one compile per (H, pad))
+    EXT_H = 256
 
     def _device_seed_block(self, reads: "seqio.SeqSet"):
         """Batched device seeding for a read block (exact vs the host
@@ -116,6 +123,64 @@ class Mapper:
             anchors = SD.seed_anchors_collect(disp, len(chunk))
             for i, a in zip(chunk, anchors):
                 out[i] = a
+        return out
+
+    def _device_extend_block(self, reads: "seqio.SeqSet", hits_list: List):
+        """Batched device _filterHits + path_dst_2 (ops.extend_dev) for a
+        read block: ships hits in / cords out; returns per-read uint64
+        cords arrays, or None entries for reads the device does not cover
+        (N bases, too long, hits overflow) — the caller falls back to the
+        full host engine for those."""
+        import jax.numpy as jnp
+
+        from ..ops import extend_dev as ED
+
+        if self._dev_gfeats is None:
+            self._dev_gfeats = ED.upload_genome_feats([f.arr for f in self.f2])
+        gf = self._dev_gfeats
+        out: List = [None] * len(reads.seqs)
+        eligible = [i for i, r in enumerate(reads.seqs)
+                    if (hits_list[i] is not None
+                        and THD_MIN_READ_LEN < len(r) <= (1 << 17)
+                        and len(hits_list[i]) <= self.EXT_H
+                        and not (r == 4).any())]
+        pending = []
+        for c0 in range(0, len(eligible), self.DEV_BATCH):
+            chunk = eligible[c0: c0 + self.DEV_BATCH]
+            pad = 1 << max(int(np.ceil(np.log2(max(len(reads.seqs[i]) for i in chunk)))), 10)
+            B = self.DEV_BATCH
+            H = self.EXT_H
+            C = H + pad // 32
+            R = ((pad - 48) >> 4) + 1
+            seqs = np.zeros((B, pad), dtype=np.uint8)
+            lens = np.zeros((B,), dtype=np.int64)
+            hitm = np.zeros((B, H), dtype=np.uint64)
+            hitn = np.zeros((B,), dtype=np.int32)
+            for k, i in enumerate(chunk):
+                r = reads.seqs[i]
+                seqs[k, : len(r)] = r
+                lens[k] = len(r)
+                h = hits_list[i]
+                hitm[k, : len(h)] = h
+                hitn[k] = len(h)
+            s4 = seqs.reshape(B, -1, 4).astype(np.uint16)
+            packed = (s4[:, :, 0] | (s4[:, :, 1] << 2) | (s4[:, :, 2] << 4)
+                      | (s4[:, :, 3] << 6)).astype(np.uint8)
+            res = ED.batch_filter_extend_packed(
+                jnp.asarray(packed), jnp.asarray(lens),
+                jnp.asarray(hitm.view(np.int64)), jnp.asarray(hitn),
+                gf.cat, gf.off, gf.rows,
+                H=H, C=C, R=R, max_iter=4 * H + 2 * C + 16)
+            pending.append((chunk, res))
+        import jax
+
+        for chunk, (cords, ncords, ovf) in pending:
+            cords, ncords, ovf = jax.device_get((cords, ncords, ovf))
+            cords = cords.view(np.uint64)
+            for k, i in enumerate(chunk):
+                if ovf[k]:
+                    continue
+                out[i] = cords[k, : ncords[k]].copy()
         return out
 
     def _device_chain_block(self, seeded: List, raw: bool = False):
@@ -286,6 +351,7 @@ class Mapper:
     def reset_gap_parms(self) -> None:
         """Start fresh emulated compute threads (see gap_parms)."""
         self._gap_parms = {}
+        self._pmp_toggled = {}
         if self._nengine is not None:
             self._nengine.reset()
 
@@ -355,22 +421,30 @@ class Mapper:
             tids.extend([t] * (size2 + 1 if t < r else size2))
         return tids
 
-    def map_read(self, read: np.ndarray, seed_anchors=None, chain_pre=None):
+    def map_read(self, read: np.ndarray, seed_anchors=None, chain_pre=None,
+                 tid: int = 0):
         """Per-read body of p_calRecords. Returns (cords_str, cords_end,
         cords_info)."""
         cords_str, cords_end, cords_info, rc, f1 = PMP.run_serial(self.map_read_gen(
-            read, seed_anchors=seed_anchors, chain_pre=chain_pre))
-        self.gap_phase(read, rc, cords_str, cords_end, f1)
+            read, seed_anchors=seed_anchors, chain_pre=chain_pre, tid=tid))
+        self.gap_phase(read, rc, cords_str, cords_end, f1, tid=tid)
         return cords_str, cords_end, cords_info
 
-    def map_read_gen(self, read: np.ndarray, seed_anchors=None, chain_pre=None):
+    def map_read_gen(self, read: np.ndarray, seed_anchors=None, chain_pre=None,
+                     tid: int = 0):
         """Generator form of the apx phase: yields window-sweep requests (see
         pmpfinder.run_serial / run_lockstep); the lockstep driver batches
         the dense-extension sweeps of many reads into single numpy passes.
 
         The gap phase is NOT part of the generator: it mutates the shared
         per-worker GapParms, so it must run in strict read order (gap_phase),
-        not in lockstep completion order."""
+        not in lockstep completion order.
+
+        PMPParms persistence: the reference's per-thread PMPParms starts in
+        ctor state and stays in toggle(0) state once any read on the thread
+        ran a re-apx/retry (see PMPParms.did_toggle) — the two differ only
+        in the alg-1 gdl_* fields, so the alg-2 lockstep path is unaffected
+        by modeling it as a per-read init + a flag carried in read order."""
         if len(read) <= THD_MIN_READ_LEN:
             return [], [], [], None, None
         rc = seqio.revcomp(read)
@@ -380,9 +454,13 @@ class Mapper:
         ]
         pm = PMP.PMPParms(seed_anchors=seed_anchors, chain_pre=chain_pre,
                           cah_stop_ratio=self.cfg.cah_stop_ratio)
+        if self._pmp_toggled.get(tid):
+            pm.toggle(0)
         cords_str, cords_end, apx_gaps, cords_info = yield from PMP.apx_map(
             self.index, read, f1, self.f2, f_chain=self.cfg.apx_chain_flag, pm=pm
         )
+        if pm.did_toggle:
+            self._pmp_toggled[tid] = True
         return cords_str, cords_end, cords_info, rc, f1
 
     def gap_phase(self, read, rc, cords_str, cords_end, f1, tid: int = 0) -> None:
@@ -424,9 +502,36 @@ class Mapper:
         else:
             tids = [0] * len(reads.seqs)
         if ne is not None:
-            for rid, read, tid, seeds in zip(reads.ids, reads.seqs, tids, pre):
-                cords_str, cords_end, sam, bl = self.native_map_read(
-                    read, rid, seeds=seeds, tid=tid, collect_bam=collect_bam)
+            dev_cords = [None] * len(reads.seqs)
+            if (self.device == "tpu" and self.cfg.index_type == 1
+                    and self.cfg.apx_chain_flag):
+                # phase B (host C++): first-pass apx to pre-filter hits;
+                # phase C (device): _filterHits + path_dst_2 extension
+                hits_list: List = []
+                for read, seeds in zip(reads.seqs, pre):
+                    if len(read) <= THD_MIN_READ_LEN:
+                        hits_list.append(None)
+                        continue
+                    s = np.asarray(seeds, dtype=np.uint64) if seeds is not None else None
+                    hits_list.append(ne.apx_hits(read, seeds=s))
+                dev_cords = self._device_extend_block(reads, hits_list)
+            for rid, read, tid, seeds, dc in zip(reads.ids, reads.seqs, tids,
+                                                 pre, dev_cords):
+                res = None
+                if dc is not None:
+                    # phase D: apx tail + gap + output; None = re-apx path
+                    res = ne.apx_finish(read, rid, dc, tid=tid)
+                if res is not None:
+                    cs, ce, sam = res
+                    cords_str = [int(c) for c in cs]
+                    cords_end = [int(c) for c in ce]
+                    bl = []
+                    if collect_bam:
+                        _, bl = self.read_output(read, rid, cords_str,
+                                                 cords_end, collect_bam=True)
+                else:
+                    cords_str, cords_end, sam, bl = self.native_map_read(
+                        read, rid, seeds=seeds, tid=tid, collect_bam=collect_bam)
                 all_str.append(cords_str)
                 all_end.append(cords_end)
                 sam_parts.append(sam)
@@ -435,10 +540,16 @@ class Mapper:
                 return all_str, all_end, "".join(sam_parts), bam_lines
             return all_str, all_end, "".join(sam_parts)
         gens = [
-            self.map_read_gen(read, seed_anchors=seeded, chain_pre=chained)
-            for read, seeded, chained in zip(reads.seqs, pre, chain_pre)
+            self.map_read_gen(read, seed_anchors=seeded, chain_pre=chained, tid=tid)
+            for read, seeded, chained, tid in zip(reads.seqs, pre, chain_pre, tids)
         ]
-        mapped = PMP.run_lockstep(gens)
+        if self.cfg.apx_chain_flag:
+            mapped = PMP.run_lockstep(gens)
+        else:
+            # alg-1 (-c 0) consumes the PMPParms gdl_* state the re-apx
+            # retry leaks across reads (PMPParms.did_toggle): strict read
+            # order required, so no lockstep batching
+            mapped = [PMP.run_serial(g) for g in gens]
         for (rid, read), tid, (cords_str, cords_end, cords_info, rc, f1) in zip(
                 zip(reads.ids, reads.seqs), tids, mapped):
             # gap phase in strict read order: it mutates the shared

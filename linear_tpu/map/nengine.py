@@ -59,6 +59,19 @@ def engine_lib():
                 C.POINTER(C.c_int64),
                 C.POINTER(C.c_char_p), C.POINTER(C.c_int64),
             ]
+            lib.le_apx_hits.restype = C.c_int
+            lib.le_apx_hits.argtypes = [
+                C.c_void_p, C.c_void_p, C.c_int64, C.c_void_p, C.c_int64,
+                C.POINTER(C.c_void_p), C.POINTER(C.c_int64),
+            ]
+            lib.le_apx_finish.restype = C.c_int
+            lib.le_apx_finish.argtypes = [
+                C.c_void_p, C.c_void_p, C.c_int64, C.c_char_p,
+                C.c_void_p, C.c_int64, C.c_int, C.c_int,
+                C.POINTER(C.c_void_p), C.POINTER(C.c_void_p),
+                C.POINTER(C.c_int64),
+                C.POINTER(C.c_char_p), C.POINTER(C.c_int64),
+            ]
             lib.le_feature_rows.restype = C.c_int64
             lib.le_feature_rows.argtypes = [C.c_int64, C.c_int64]
             lib.le_build_features.restype = None
@@ -184,6 +197,58 @@ class NativeEngine:
             seeds_ptr, n_seeds, tid, 1 if do_output else 0,
             C.byref(cs_p), C.byref(ce_p), C.byref(n_out),
             C.byref(sam_p), C.byref(sam_n))
+        n = n_out.value
+        if n:
+            cs = np.ctypeslib.as_array(
+                C.cast(cs_p, C.POINTER(C.c_uint64)), shape=(n,)).copy()
+            ce = np.ctypeslib.as_array(
+                C.cast(ce_p, C.POINTER(C.c_uint64)), shape=(n,)).copy()
+        else:
+            cs = np.zeros(0, dtype=np.uint64)
+            ce = np.zeros(0, dtype=np.uint64)
+        sam = C.string_at(sam_p, sam_n.value).decode() if sam_n.value else ""
+        return cs, ce, sam
+
+    def apx_hits(self, read: np.ndarray, seeds: Optional[np.ndarray] = None
+                 ) -> np.ndarray:
+        """Phase B of the TPU pipeline: first-pass apx up to the PRE-filter
+        hits (the device runs _filterHits + path_dst_2 on them)."""
+        read = np.ascontiguousarray(read, dtype=np.uint8)
+        if seeds is None:
+            seeds_ptr, n_seeds = None, -1
+        else:
+            seeds = np.ascontiguousarray(seeds, dtype=np.uint64)
+            seeds_ptr, n_seeds = seeds.ctypes.data, len(seeds)
+        h_p = C.c_void_p()
+        n_out = C.c_int64()
+        self._lib.le_apx_hits(self._h, read.ctypes.data, len(read),
+                              seeds_ptr, n_seeds, C.byref(h_p), C.byref(n_out))
+        n = n_out.value
+        if not n:
+            return np.zeros(0, dtype=np.uint64)
+        return np.ctypeslib.as_array(
+            C.cast(h_p, C.POINTER(C.c_uint64)), shape=(n,)).copy()
+
+    def apx_finish(self, read: np.ndarray, rid: str, cords: np.ndarray,
+                   tid: int = 0, do_output: bool = True):
+        """Phase D: consume device path_dst_2 cords; apx tail + gap +
+        output. Returns None when the read needs the full host re-map
+        (re-apx path) — caller falls back to map_read."""
+        read = np.ascontiguousarray(read, dtype=np.uint8)
+        cords = np.ascontiguousarray(cords, dtype=np.uint64)
+        cs_p = C.c_void_p()
+        ce_p = C.c_void_p()
+        n_out = C.c_int64()
+        sam_p = C.c_char_p()
+        sam_n = C.c_int64()
+        rc = self._lib.le_apx_finish(
+            self._h, read.ctypes.data, len(read), rid.encode(),
+            cords.ctypes.data if len(cords) else None, len(cords),
+            tid, 1 if do_output else 0,
+            C.byref(cs_p), C.byref(ce_p), C.byref(n_out),
+            C.byref(sam_p), C.byref(sam_n))
+        if rc:
+            return None
         n = n_out.value
         if n:
             cs = np.ctypeslib.as_array(

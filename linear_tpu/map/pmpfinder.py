@@ -75,6 +75,16 @@ class PMPParms:
     # (sorted_anchors_desc, ChainsRecord list); consumed once and validated
     # against the host-filtered anchors before use
     chain_pre: object = None
+    # REFERENCE STATE-LEAK QUIRK: the reference's PMPParms is per-THREAD and
+    # persists across reads (src/mapper.cpp:233-237); the re-apx/retry paths
+    # bracket with toggle(1)..toggle(0) (src/pmpfinder.cpp:2762-2766,
+    # :2806-2811), so every LATER read on that thread starts in the
+    # toggle(0) state — which differs from the ctor state ONLY in
+    # GetDHitListParms (ctor runs toggle(1): list 20 / best 1; toggle(0):
+    # list 10 / best 999, src/pmpfinder.cpp:2287-2301). Only alg-1 (-c 0)
+    # reads gdl_*, so alg-2 output is unaffected. `did_toggle` records that
+    # this read toggled; the Mapper carries the per-thread flag forward.
+    did_toggle: bool = False
 
     def toggle(self, i: int) -> None:
         self.thd_alpha = [15, 7][i] if i in (0, 1) else self.thd_alpha
@@ -908,7 +918,10 @@ def mn_map_read_list(
     _dbg("ANCH", anchors)
     if alg_type == 1:
         alist = get_d_anchor_list(anchors, read_str, read_end, index.span)
+        _dbg("SANC", anchors)
+        _dbg("ALIS", alist)
         get_d_hit_list(hits, alist, anchors, pm)
+        _dbg("HIT1", hits)
     elif alg_type == 2:
         get_anchor_hits_chains(anchors, hits, hits_score, len(read), pm)
 
@@ -982,6 +995,7 @@ def apx_map(
             for g in apx_gaps:
                 y1, y2 = up_forward_y(g[0], g[1], read_len)
                 pm.toggle(1)
+                pm.did_toggle = True
                 map_str = y1
                 map_end = make_cord(MAX_CORD_ID, MAX_CORD_X, y2, 0)
                 yield from apx_map_(index, read, hits, f1, f2, cords_str, cords_info, map_str, map_end, alg_type, pm)
@@ -1003,6 +1017,7 @@ def apx_map(
         if get_max_len(cords_str) < read_len * sen_thr:
             cords_str.clear()
             pm.toggle(1)
+            pm.did_toggle = True
             yield from apx_map_(index, read, hits, f1, f2, cords_str, cords_info, map_str, map_end, alg_type, pm)
             pm.toggle(0)
         clean_blocks(cords_str, thd_drop_len)

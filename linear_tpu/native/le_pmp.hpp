@@ -716,6 +716,42 @@ static inline void apx_map_(const ApxContext& cx_, std::vector<u64>& hits,
              alg_type);
 }
 
+// Chain-mode apx tail for the DEVICE-EXTENDED path (apxMap
+// src/pmpfinder.cpp:2744-2801 minus the re-apx rerun): the TPU runs
+// seeding + _filterHits + path_dst_2 and hands back raw cords; this
+// finishes the read. Returns false when the re-apx condition (y-gap cover
+// >= 0.7 of the read) holds — the caller must then re-run the FULL host
+// apx_map (identical result, the re-apx passes need anchors/hits state).
+static inline bool apx_map_device_tail(i64 read_len, std::vector<u64>& cords_str,
+                                       std::vector<u64>& cords_end,
+                                       std::vector<PII>& apx_gaps) {
+    const i64 thd_cord_size = WINDOW;
+    const i64 thd_large_gap = 1000;
+    i64 thd_drop_len = std::min((i64)2, (i64)(read_len * 0.05 / thd_cord_size));
+    std::vector<PII> str_ends, str_ends_p;
+    clean_blocks(cords_str, thd_drop_len, 50);
+    gather_blocks(cords_str, 1, (i64)cords_str.size(), read_len, thd_large_gap,
+                  thd_cord_size, true, str_ends, str_ends_p);
+    i64 gap_lens_sum = gather_gaps_y(str_ends, read_len, thd_large_gap, apx_gaps);
+    if (read_len > 0 && (double)gap_lens_sum / (double)read_len >= 0.7)
+        return false;
+    chain_apx_cords_blocks(cords_str, str_ends_p, read_len);
+    clean_blocks(cords_str, thd_drop_len, 50);
+    // mark main/recd signs; cords_end = cords_str + (96, 96)
+    cords_end.assign(cords_str.size(), 0);
+    int seg = 0;
+    u64 d = shiftc(0, thd_cord_size, thd_cord_size);
+    for (size_t i = 0; i < cords_str.size(); i++) {
+        u64 c = cords_str[i];
+        c = seg ? (c | (1ull << 62)) : (c & ~(1ull << 62));
+        c |= 1ull << 63;
+        cords_str[i] = c;
+        if (is_end(c)) seg = 1 - seg;
+        cords_end[i] = c + d;
+    }
+    return true;
+}
+
 // apxMap (src/pmpfinder.cpp:2709). Returns apx_gaps via out param.
 static inline void apx_map(const ApxContext& cx_, int f_chain, PMPParms& pm,
                            std::vector<u64>& cords_str, std::vector<u64>& cords_end,

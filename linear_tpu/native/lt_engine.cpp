@@ -52,6 +52,10 @@ struct Engine {
     double cah_stop_ratio = 0.0;
     // per-task gap parms (reference: per-thread GapParms persist across reads)
     std::map<int, GapParms> parms;
+    // per-task PMPParms (reference quirk: per-thread, persists across reads;
+    // the re-apx/retry paths leave it in toggle(0) state — visible only to
+    // the alg-1 gdl_* fields, src/pmpfinder.cpp:2806-2811, :2287-2301)
+    std::map<int, PMPParms> pmp_parms_map;
     // per-call result buffers
     std::vector<u64> out_cs, out_ce;
     std::string out_sam;
@@ -69,6 +73,12 @@ struct Engine {
             gp.f_dup = f_dup;
             it = parms.emplace(tid, gp).first;
         }
+        return it->second;
+    }
+
+    PMPParms& pmp_parms(int tid) {
+        auto it = pmp_parms_map.find(tid);
+        if (it == pmp_parms_map.end()) it = pmp_parms_map.emplace(tid, PMPParms()).first;
         return it->second;
     }
 };
@@ -109,6 +119,7 @@ void* le_create(i64 n_genomes, const u8** genome_ptrs, const i64* genome_lens,
 void le_reset(void* ep) {
     Engine* e = (Engine*)ep;
     e->parms.clear();
+    e->pmp_parms_map.clear();
 }
 
 void le_destroy(void* ep) { delete (Engine*)ep; }
@@ -140,10 +151,11 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
         acx.f2 = e->gfeat_ptrs.data();
         acx.read = read;
         acx.read_len = read_len;
-        PMPParms pm;
+        PMPParms& pm = e->pmp_parms(tid);
         pm.cah_stop_ratio = e->cah_stop_ratio;
         pm.seed_anchors = n_seeds >= 0 ? seeds : nullptr;
         pm.n_seed = n_seeds >= 0 ? n_seeds : 0;
+        pm.seed_used = false;
         std::vector<PII> apx_gaps;
         std::vector<i64> cords_info;
         apx_map(acx, e->f_chain, pm, e->out_cs, e->out_ce, apx_gaps, cords_info);
@@ -163,6 +175,95 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
         }
     }
     // output (print side of p_calRecords, src/mapper.cpp:452-473)
+    if (do_output) {
+        cords2bamlink(e->out_cs, e->out_ce, read_len, 8000, e->thd_DI, e->thd_X,
+                      e->records);
+        if (e->reform_ccs) reform_ccs_bams(e->records);
+        fill_bam_records(e->records, e->genome_ids, e->heads, e->head_gids);
+        if (e->sequence_sam && !e->records.empty())
+            synth_seq(e->records, e->heads, e->genomes.data(),
+                      e->genome_lens.data(), read, e->rc_buf.data(), read_len);
+        sam_lines(e->records, e->heads, e->head_gids, rid, e->out_sam);
+    }
+    *out_cs = e->out_cs.data();
+    *out_ce = e->out_ce.data();
+    *out_n = (i64)e->out_cs.size();
+    *out_sam = e->out_sam.c_str();
+    *out_sam_len = (i64)e->out_sam.size();
+    return 0;
+}
+
+// ---------------------------------------------- device-pipeline phase split
+// Phase B of the TPU pipeline: first-pass apx up to PRE-filter hits
+// (apxMap_ src/pmpfinder.cpp:2632 before path_dst). The device then runs
+// _filterHits + path_dst_2 (linear_tpu/ops/extend_dev.py) and le_apx_finish
+// consumes its cords. Buffers valid until the next call on this engine.
+int le_apx_hits(void* ep, const u8* read, i64 read_len, const u64* seeds,
+                i64 n_seeds, const u64** out_hits, i64* out_n) {
+    Engine* e = (Engine*)ep;
+    e->out_cs.clear();  // reuse as hits buffer
+    if (read_len > THD_MIN_READ_LEN) {
+        ApxContext acx;
+        acx.index = &e->index;
+        acx.f1 = e->f1_buf;  // untouched before path_dst
+        acx.f2 = e->gfeat_ptrs.data();
+        acx.read = read;
+        acx.read_len = read_len;
+        PMPParms pm;
+        pm.cah_stop_ratio = e->cah_stop_ratio;
+        pm.seed_anchors = n_seeds >= 0 ? seeds : nullptr;
+        pm.n_seed = n_seeds >= 0 ? n_seeds : 0;
+        std::vector<u64>& hits = e->out_cs;
+        hits.push_back(FLAG_END);
+        std::vector<u64> anchors;
+        anchors.push_back(0);
+        std::vector<i64> hits_score;
+        u64 map_str = 0;
+        u64 map_end = make_cord(MAX_CORD_ID, MAX_CORD_X, read_len & (i64)MASK_Y, 0);
+        mn_map_read_list(acx, anchors, hits, hits_score, map_str, map_end, 2, pm);
+    }
+    *out_hits = e->out_cs.data();
+    *out_n = (i64)e->out_cs.size();
+    return 0;
+}
+
+// Phase D: consume the device's path_dst_2 cords and finish the read
+// (apx tail + gap phase + output). Returns 1 when the read needs a FULL
+// host re-map (re-apx path, src/pmpfinder.cpp:2749-2767) — the caller
+// then calls le_map_read; returns 0 on success.
+int le_apx_finish(void* ep, const u8* read, i64 read_len, const char* rid,
+                  const u64* cords_in, i64 n_cords_in, int tid, int do_output,
+                  const u64** out_cs, const u64** out_ce, i64* out_n,
+                  const char** out_sam, i64* out_sam_len) {
+    Engine* e = (Engine*)ep;
+    e->out_cs.assign(cords_in, cords_in + n_cords_in);
+    e->out_ce.clear();
+    e->out_sam.clear();
+    if (read_len > THD_MIN_READ_LEN) {
+        std::vector<PII> apx_gaps;
+        if (!apx_map_device_tail(read_len, e->out_cs, e->out_ce, apx_gaps))
+            return 1;  // re-apx: caller re-runs the full host pipeline
+        // revcomp + read features (needed by the gap phase and -ss output)
+        e->rc_buf.resize(read_len);
+        static const u8 comp[5] = {3, 2, 1, 0, 4};
+        for (i64 i = 0; i < read_len; i++)
+            e->rc_buf[i] = comp[read[read_len - 1 - i]];
+        create_features_read(read, read_len, e->f1_buf[0]);
+        create_features_read(e->rc_buf.data(), read_len, e->f1_buf[1]);
+        if (e->gap_len_min > 0) {
+            GapContext gcx;
+            gcx.genomes = e->genomes.data();
+            gcx.genome_lens = e->genome_lens.data();
+            gcx.n_genomes = (i64)e->genomes.size();
+            gcx.read = read;
+            gcx.comstr = e->rc_buf.data();
+            gcx.read_len = read_len;
+            gcx.f1 = e->f1_buf;
+            gcx.f2 = e->gfeat_ptrs.data();
+            map_gaps(gcx, e->out_cs, e->out_ce, e->gap_parms(tid));
+            reform_cords(e->out_cs, e->out_ce);
+        }
+    }
     if (do_output) {
         cords2bamlink(e->out_cs, e->out_ce, read_len, 8000, e->thd_DI, e->thd_X,
                       e->records);

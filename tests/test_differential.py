@@ -65,6 +65,36 @@ def test_flag_bit_identical(tmp_path, preset, f_dup, sequence_sam, extra):
 
 
 @needs_ref
+@pytest.mark.parametrize("corpus,seed,gap_len", [
+    ("uniform", 11, 0), ("uniform", 11, 50),
+    ("repeat", 20260819, 0), ("repeat", 5150, 50),
+])
+def test_alg1_bit_identical(tmp_path, corpus, seed, gap_len):
+    """alg-1 (-c 0): getDAnchorList/getDHitList listing path
+    (src/pmpfinder.cpp:2185-2313) + path_dst_1. Exactness depends on the
+    PMPParms per-thread state leak: the re-apx retry leaves the parms in
+    toggle(0) state (gdl list 10 / best 999) for every LATER read on the
+    thread (src/pmpfinder.cpp:2806-2811) — see PMPParms.did_toggle."""
+    rng = np.random.default_rng(seed)
+    if corpus == "repeat":
+        genomes = [DT.make_repeat_genome(rng, 150000)]
+    else:
+        genomes = [rng.integers(0, 4, 120000).astype(np.uint8) for _ in range(2)]
+    genome_fa = str(tmp_path / "g.fa")
+    reads_fa = str(tmp_path / "r.fa")
+    seqio.write_fasta(genome_fa, [f"chr{i} s" for i in range(len(genomes))], genomes)
+    reads = DT.simulate(rng, genomes, 27)
+    seqio.write_fasta(reads_fa, [f"read{i} sim" for i in range(len(reads))], reads)
+    ref_sam, ref_apf = DT.run_reference(reads_fa, genome_fa, str(tmp_path / "ref"),
+                                        1, gap_len, extra=("-c", "0"))
+    my_sam, my_apf = DT.run_ours(reads_fa, genome_fa, str(tmp_path / "mine"),
+                                 1, gap_len, apx_chain_flag=0)
+    assert open(ref_sam).read() == open(my_sam).read()
+    strip = lambda p: [l for l in open(p).read().splitlines() if l.strip()]
+    assert strip(ref_apf) == strip(my_apf)
+
+
+@needs_ref
 @pytest.mark.parametrize("ot,ss", [(4, 0), (8, 0), (15, 0), (4, 1)])
 def test_bam_byte_identical(tmp_path, ot, ss):
     """Binary BAM outputs (-ot 4 standard, 8 pbsv, 15 all four) compared
