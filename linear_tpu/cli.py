@@ -66,11 +66,6 @@ def run_filter(args) -> int:
         print(f"E[11]: unknown index type -i {args.index_type}; use 1 "
               "(DIndex, default) or 2 (HIndex)", file=sys.stderr)
         return 1
-    if args.feature_type != 2:
-        print(f"E[12]: feature type -f {args.feature_type} (legacy 1_16/1_32 "
-              "scripts) is not implemented yet; only -f 2 (2_48, the "
-              "reference default) is available", file=sys.stderr)
-        return 1
     cfg = MapperConfig(
         gap_len=args.gap_len,
         apx_chain_flag=args.apx_c_flag,
@@ -88,6 +83,7 @@ def run_filter(args) -> int:
         reform_ccs=args.reform_ccs_cigar_flag,
         f_dup=args.duplication,
         bal_flag=args.bal_flag,
+        feature_t=args.feature_type,
     )
     t0 = time.time()
     mapper = Mapper(genome_paths, cfg, device=args.device)

@@ -1154,7 +1154,7 @@ def extend_patch(f1, f2, cords: List[int], kk: int, cord1: int, cord2: int,
     x_bound = cx(scord)
     y_bound = cy(scord)
     while cxid(cord) + gap_size <= cxid(scord):  # isPreGap
-        cord, d = PMP.next_window(f1[strand1], f2[gid1], cord)
+        cord, d = PMP.next_window_eval(f1[strand1], f2[gid1], cord)
         score += d
         if cord and cy(cord) < y_bound and cx(cord) < x_bound and score < thd_accept_score:
             tmp.append(cord)
@@ -1173,7 +1173,7 @@ def extend_patch(f1, f2, cords: List[int], kk: int, cord1: int, cord2: int,
         y_bound = cy(pcord)
     cord = scord
     while cxid(nw) + gap_size <= cxid(cord):  # isSucGap
-        cord, d = PMP.previous_window(f1[strand2], f2[gid2], cord)
+        cord, d = PMP.previous_window_eval(f1[strand2], f2[gid2], cord)
         score += d
         if cord and cy(cord) > y_bound and cx(cord) > x_bound and score < thd_accept_score:
             tmp.append(cord)

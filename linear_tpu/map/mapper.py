@@ -47,6 +47,9 @@ class MapperConfig:
     f_dup: int = 0             # -dup
     bal_flag: int = 1          # -b; 0 = batch mode (deterministic omp-static
     #                            GapParms partition), 1 = pipeline schedule
+    # -f; C++ setFeatureType dispatch (src/pmpfinder.cpp:59-73): 0 -> 1_16,
+    # 1 -> 1_32, else 2_48
+    feature_t: int = 2
 
     @property
     def thd_DI(self) -> int:
@@ -86,6 +89,7 @@ class Mapper:
         # path, leaving the persistent parms in toggle(0) state
         self._pmp_toggled: dict = {}
         self._gap_parms = {}
+        self._f1_bufs: dict = {}  # per-tid persistent read-feature buffers
         self._nengine = None  # lazy per-process native engine (lt_engine)
 
     # fixed device batch size: keeps the jitted kernel shapes constant
@@ -259,15 +263,29 @@ class Mapper:
     def create_features(self) -> None:
         from . import nengine as NE
 
-        arrs = None
-        if NE.enabled():
-            arrs = [NE.build_features_native(s, self.cfg.threads)
+        PMP.set_feature_type(self.cfg.feature_t)
+        if self.cfg.feature_t == 0:
+            arrs = [F.create_features_1_16_parallel(s, self.cfg.threads)
                     for s in self.genomes]
-            if any(a is None for a in arrs):
-                arrs = None
-        if arrs is None:
-            arrs = [F.create_features_genome(s, self.cfg.threads)
+        elif self.cfg.feature_t == 1:
+            arrs = [F.create_features_1_32_parallel(s, self.cfg.threads)
                     for s in self.genomes]
+        else:
+            arrs = None
+            if NE.enabled():
+                arrs = [NE.build_features_native(s, self.cfg.threads)
+                        for s in self.genomes]
+                if any(a is None for a in arrs):
+                    arrs = None
+            if arrs is None:
+                arrs = [F.create_features_genome(s, self.cfg.threads)
+                        for s in self.genomes]
+        if self.cfg.feature_t != 2:
+            from ..utils.dbg import dbg_s, enabled as _dbg_on
+
+            if _dbg_on():
+                for a in arrs:
+                    dbg_s("GFEA", a)
         self.f2 = [PMP.Feats(a) for a in arrs]
 
     def create_index(self) -> None:
@@ -352,6 +370,7 @@ class Mapper:
         """Start fresh emulated compute threads (see gap_parms)."""
         self._gap_parms = {}
         self._pmp_toggled = {}
+        self._f1_bufs = {}
         if self._nengine is not None:
             self._nengine.reset()
 
@@ -362,7 +381,8 @@ class Mapper:
         usable before/without instantiating it)."""
         from . import nengine as NE
 
-        return NE.enabled() and not self.cfg.aln_flag and self.cfg.index_type == 1
+        return (NE.enabled() and not self.cfg.aln_flag
+                and self.cfg.index_type == 1 and self.cfg.feature_t == 2)
 
     def native_engine(self):
         """The per-process native engine (lt_engine), or None. Created
@@ -376,7 +396,7 @@ class Mapper:
         from . import nengine as NE
 
         if (not NE.enabled() or self.cfg.aln_flag or self.index is None
-                or self.cfg.index_type != 1):
+                or self.cfg.index_type != 1 or self.cfg.feature_t != 2):
             return None
         g = self.cfg.gap_len
         gap_min = 0 if not g else (50 if g == 1 else (10 if g < 10 else g))
@@ -448,10 +468,23 @@ class Mapper:
         if len(read) <= THD_MIN_READ_LEN:
             return [], [], [], None, None
         rc = seqio.revcomp(read)
-        f1 = [
-            PMP.Feats(F.create_features_serial(read)),
-            PMP.Feats(F.create_features_serial(rc)),
-        ]
+        if self.cfg.feature_t != 2:
+            # persistent per-thread feature buffers (stale-tail semantics,
+            # see PMP.FeatBuf)
+            st = self._f1_bufs.setdefault(tid, [PMP.FeatBuf(), PMP.FeatBuf()])
+            vf, nf = F.feats1_parts(read, self.cfg.feature_t)
+            vr, nr = F.feats1_parts(rc, self.cfg.feature_t)
+            f1 = [st[0].update(vf, nf), st[1].update(vr, nr)]
+            from ..utils.dbg import dbg_s, enabled as _dbg_on
+
+            if _dbg_on():
+                dbg_s("RFEA", f1[0].arr[: f1[0].n_len])
+                dbg_s("RFEB", f1[1].arr[: f1[1].n_len])
+        else:
+            f1 = [
+                PMP.Feats(F.create_features_serial(read)),
+                PMP.Feats(F.create_features_serial(rc)),
+            ]
         pm = PMP.PMPParms(seed_anchors=seed_anchors, chain_pre=chain_pre,
                           cah_stop_ratio=self.cfg.cah_stop_ratio)
         if self._pmp_toggled.get(tid):
@@ -489,8 +522,10 @@ class Mapper:
         all_end: List[List[int]] = []
         sam_parts: List[str] = []
         bam_lines: List[dict] = []
+        self._f1_bufs = {}
         ne = self.native_engine()
-        if self.device == "tpu" and self.cfg.index_type == 1:
+        if (self.device == "tpu" and self.cfg.index_type == 1
+                and self.cfg.feature_t == 2):
             pre = self._device_seed_block(reads)
             chain_pre = (self._device_chain_block(pre)
                          if ne is None else [None] * len(reads.seqs))
@@ -504,7 +539,7 @@ class Mapper:
         if ne is not None:
             dev_cords = [None] * len(reads.seqs)
             if (self.device == "tpu" and self.cfg.index_type == 1
-                    and self.cfg.apx_chain_flag):
+                    and self.cfg.feature_t == 2 and self.cfg.apx_chain_flag):
                 # phase B (host C++): first-pass apx to pre-filter hits;
                 # phase C (device): _filterHits + path_dst_2 extension
                 hits_list: List = []

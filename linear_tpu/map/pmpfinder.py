@@ -43,6 +43,37 @@ INF = 3            # ceil(0.5 * 6)
 WTHR = 36          # windowThreshold
 WTHR_REJ = 50      # windowThresholdReject
 ABORT_SCORE = 1000
+FT = 2             # active feature type (typeFeatures1_16/1_32/2_48 = 0/1/2)
+SCPT_NUM1 = 6      # type-1 window-dist script count (6 for 1_32, 12 for 1_16)
+INT_STEP1 = 2      # type-1 scpt_int_step (2 for 1_32, 1 for 1_16)
+
+# ApxMapParm1_16 / ApxMapParm1_32 (src/pmpfinder.cpp:187-209): band 0.25,
+# cell 16, cell_num 12 -> window 192, sup 12, med ceil(.75*12)=9,
+# inf ceil(.5*12)=6; thresholds 60/80 (1_16) and 36/50 (1_32).
+_FT_PARMS = {
+    0: dict(WINDOW=192, SUP=12, MED=9, INF=6, WTHR=60, WTHR_REJ=80,
+            SCPT_NUM1=12, INT_STEP1=1),
+    1: dict(WINDOW=192, SUP=12, MED=9, INF=6, WTHR=36, WTHR_REJ=50,
+            SCPT_NUM1=6, INT_STEP1=2),
+    2: dict(WINDOW=96, SUP=6, MED=5, INF=3, WTHR=36, WTHR_REJ=50,
+            SCPT_NUM1=6, INT_STEP1=2),
+}
+
+
+def set_feature_type(ft: int) -> None:
+    """Select the active feature type's ApxMapParm set (FeaturesDynamic::init,
+    src/pmpfinder.cpp:84-99 — the reference stores one global parm per run;
+    here the window geometry/thresholds are module globals, set once before
+    mapping). ft follows the C++ setFeatureType dispatch: 0 -> 1_16,
+    1 -> 1_32, anything else -> 2_48."""
+    if ft not in _FT_PARMS:
+        ft = 2
+    g = globals()
+    g["FT"] = ft
+    g.update(_FT_PARMS[ft])
+    from ..out import apf as _APF
+
+    _APF.WINDOW = _FT_PARMS[ft]["WINDOW"]
 
 MXU31 = (31 << 24) + (31 << 18) + (31 << 12) + (31 << 6) + 31
 
@@ -96,11 +127,19 @@ class Feats:
     """Feature scripts with both numpy and plain-list mirrors (the list
     mirror is built lazily — the native engine path never touches it)."""
 
-    def __init__(self, arr: np.ndarray):
+    def __init__(self, arr: np.ndarray, n: int | None = None):
         self.arr = arr
+        # logical SeqAn length() — for type-1 features arr is the whole
+        # persistent buffer snapshot (stale tail included) and n is the
+        # resize length the C++ bounds checks use
+        self.n_len = len(arr) if n is None else n
         self._rows: list | None = None
-        # zero-copy uint32 view for the vectorized window-distance kernels
-        self.u32 = np.ascontiguousarray(arr, dtype=np.int32).view(np.uint32)
+        if arr.ndim == 2:
+            # zero-copy uint32 view for the vectorized window-dist kernels
+            self.u32 = np.ascontiguousarray(arr, dtype=np.int32).view(np.uint32)
+        else:
+            # type-1 (1_16/1_32) scripts: flat int16, scalar kernels only
+            self.u32 = None
 
     @property
     def rows(self) -> list:
@@ -110,6 +149,36 @@ class Feats:
 
     def __len__(self) -> int:
         return len(self.arr)
+
+
+class FeatBuf:
+    """Persistent per-thread read-feature buffer for type-1 features.
+
+    The reference declares StringSet<FeaturesDynamic> f1 once per compute
+    task / thread and re-resizes it per read (src/mapper.cpp:428-446,
+    :806-821). SeqAn resize never shrinks or clears: slots in
+    [filled, resize_len) and the capacity tail keep previous reads'
+    values, and the type-1 _windowDist variants (src/pmpfinder.cpp:698-717)
+    bound-check only the start index, so those stale values are READ.
+    Growth: new capacity = n < 32 ? 32 : n + n/2 (computeGenerousCapacity,
+    seqan/sequence/sequence_interface.h:857), realloc copies length()
+    elements, fresh memory modeled as 0."""
+
+    def __init__(self):
+        self.buf = np.zeros(0, dtype=np.int16)
+        self.len = 0
+
+    def update(self, vals: np.ndarray, n_resize: int) -> "Feats":
+        if n_resize > len(self.buf):
+            cap = 32 if n_resize < 32 else n_resize + (n_resize >> 1)
+            nb = np.zeros(cap, dtype=np.int16)
+            nb[: self.len] = self.buf[: self.len]
+            self.buf = nb
+        self.buf[: len(vals)] = vals
+        self.len = n_resize
+        # snapshot: later reads mutate the buffer, but the per-read Feats
+        # must keep this read's view (gap phase runs after later apx runs)
+        return Feats(self.buf.copy(), n=n_resize)
 
 
 _SHIFTS = np.array([24, 18, 12, 6, 0], dtype=np.uint32)
@@ -155,10 +224,33 @@ def _sdist(s1, s2) -> int:
     return t
 
 
+def _wdist1(f1: Feats, f2: Feats, a: int, b: int) -> int:
+    """_windowDist1_32 / _windowDist1_16 (src/pmpfinder.cpp:344,433):
+    sum of segment distances over scpt_num scripts at stride scpt_int_step.
+    Out-of-range script reads (the C++ reads heap memory past the end there)
+    are evaluated as 0-valued scripts (fresh-page semantics)."""
+    from ..ops.features import script_dist16_3
+
+    r1, r2 = f1.rows, f2.rows
+    t = 0
+    for i in range(0, SCPT_NUM1 * INT_STEP1, INT_STEP1):
+        s1 = r1[a + i] if 0 <= a + i < len(r1) else 0
+        s2 = r2[b + i] if 0 <= b + i < len(r2) else 0
+        t += script_dist16_3(s1, s2)
+    return t
+
+
 def window_dist_u(f1: Feats, f2: Feats, a: int, b: int) -> int:
     """__windowDist / _windowDist2_48 (src/pmpfinder.cpp:655,523): unchecked
-    96-base window distance; clamped reads past the end return huge (the C++
+    window distance; clamped reads past the end return huge (the C++
     reads out of bounds there; valid call sites never do)."""
+    if FT != 2:
+        # no bounds check in the C++ (__windowDist -> _windowDist1_xx);
+        # reads beyond the logical length land in the persistent buffer's
+        # stale tail (emulated in rows), past the buffer -> 0
+        if a < 0 or b < 0:
+            return 1 << 30
+        return _wdist1(f1, f2, a, b)
     r1, r2 = f1.rows, f2.rows
     if a + 3 >= len(r1) or b + 3 >= len(r2) or a < 0 or b < 0:
         return 1 << 30
@@ -166,8 +258,14 @@ def window_dist_u(f1: Feats, f2: Feats, a: int, b: int) -> int:
 
 
 def window_dist_c(f1: Feats, f2: Feats, a: int, b: int) -> int:
-    """_windowDist (src/pmpfinder.cpp:680): bounds-checked; d = scpt_num *
-    (scpt_int_step - 1) = 4; out of bounds -> abort_score."""
+    """_windowDist (src/pmpfinder.cpp:680): bounds-checked; for 2_48
+    d = scpt_num * (scpt_int_step - 1) = 4; the 1_16/1_32 branches check
+    only idx < len (src/pmpfinder.cpp:698-717) — reads past the end are
+    evaluated as 0-valued scripts. Out of bounds -> abort_score."""
+    if FT != 2:
+        if a < f1.n_len and b < f2.n_len and a >= 0 and b >= 0:
+            return _wdist1(f1, f2, a, b)
+        return ABORT_SCORE
     d = 4
     if a + d < len(f1.rows) and b + d < len(f2.rows):
         return _sdist(f1.rows[a], f2.rows[b]) + _sdist(f1.rows[a + 3], f2.rows[b + 3])
@@ -211,7 +309,7 @@ def next_window(f1: Feats, f2: Feats, cord: int):
     std = strand(cord)
     x_pre = cx(cord) >> CELL_BIT
     y_pre = cy(cord) >> CELL_BIT
-    if y_pre + SUP * 2 > len(f1.rows) or x_pre + SUP * 2 > len(f2.rows):
+    if y_pre + SUP * 2 > f1.n_len or x_pre + SUP * 2 > f2.n_len:
         return 0, 0
     y = y_pre + MED
     dists = yield (f1, f2, y, x_pre + INF)
@@ -229,6 +327,17 @@ def next_window(f1: Feats, f2: Feats, cord: int):
     else:
         new_cord = make_cord(gid, x_min << CELL_BIT, y << CELL_BIT, std)
     return new_cord, dmin
+
+
+def next_window_eval(f1: Feats, f2: Feats, cord: int):
+    """Immediate-evaluation form of next_window (gap-module call sites,
+    extend_patch src/gap_util.cpp)."""
+    return run_serial(next_window(f1, f2, cord))
+
+
+def previous_window_eval(f1: Feats, f2: Feats, cord: int):
+    """Immediate-evaluation form of previous_window."""
+    return run_serial(previous_window(f1, f2, cord))
 
 
 def extend_window(f1: Feats, f2: Feats, cords: List[int], cordy_str: int, cordy_end: int) -> int:
@@ -408,6 +517,17 @@ def filter_hits(hits: List[int], f1: List[Feats], f2: List[Feats]) -> None:
     for i in range(1, len(hits)):
         h = hits[i]
         dist = window_dist_c(f1[strand(h)], f2[cid(h)], cy(h) >> CELL_BIT, cx(h) >> CELL_BIT)
+        _dbg("FHIT", [h, dist])
+        if FT != 2:
+            from ..utils.dbg import dbg_s as _dbg_s, enabled as _dbg_en
+
+            if _dbg_en():
+                a = cy(h) >> CELL_BIT
+                ff = f1[strand(h)]
+                if 0 <= a < ff.n_len:
+                    row = [(ff.rows[a + i] if a + i < len(ff.rows) else 0)
+                           for i in range(12)]
+                    _dbg_s("FSCR", row)
         if dist < WTHR_REJ:
             hits[i - ii_move] = h
         else:
@@ -1062,6 +1182,10 @@ def run_lockstep(gens: list) -> list:
     serial evaluator). This is the wavefront form of the reference's
     per-read dense extension (path_dst src/pmpfinder.cpp:1447): all reads
     advance one window sweep per iteration."""
+    if FT != 2:
+        # legacy 1_16/1_32 features use the scalar kernels (difftest-scale
+        # corpora only; the batched uint32-lane kernel below is 2_48-shaped)
+        return [run_serial(g) for g in gens]
     results = [None] * len(gens)
     active = []
     for i, g in enumerate(gens):

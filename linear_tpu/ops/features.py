@@ -144,3 +144,152 @@ def window_dist_checked(f1: np.ndarray, f2: np.ndarray, a, b, abort_score: int =
         bv = np.where(ok, b, 0)
         out = np.where(ok, window_dist(f1, f2, av, bv), out)
     return out
+
+# ---------------------------------------------------------------- type I
+# Legacy single-base-count scripts (src/pmpfinder.cpp:330-483): a script is
+# one int16 packing base counts of a window in three 5-bit segments
+# (A -> +1, C -> +32, G -> +1024, T/N -> +0, scptCount
+# src/pmpfinder.cpp:192-196).
+#   type 1_32 (-f 1): 32-base windows, one script per 16-base step, rolling.
+#   type 1_16 (-f 0): 16-base windows, one script per 16-base step.
+# Distances: __scriptDist16_3 (src/pmpfinder.cpp:332) with mask 31 and an
+# UNMASKED arithmetic >>10 for the third segment — int16 overflow semantics
+# of the C++ `short` are reproduced via np.int16.
+
+_SCPT_COUNT1 = np.array([1, 1 << 5, 1 << 10, 0, 0], dtype=np.int64)
+
+
+def _counts1(seq: np.ndarray) -> np.ndarray:
+    """Prefix sums of per-base scptCount addends; csum[i] = sum of [0, i)."""
+    add = _SCPT_COUNT1[seq.astype(np.int64)]
+    csum = np.zeros(len(seq) + 1, dtype=np.int64)
+    np.cumsum(add, out=csum[1:])
+    return csum
+
+
+def create_features_1_32_serial(seq: np.ndarray) -> np.ndarray:
+    """createFeatures1_32 serial (src/pmpfinder.cpp:355-373, used for READ
+    features): window 32, step 16; returns only the entries the loop fills
+    (the C++ resize length ((len-32)>>4)+1 can exceed that by one — the
+    trailing slot is never written; see the 2_48 length quirk note above)."""
+    L = len(seq)
+    if L < 33:
+        return np.zeros(0, dtype=np.int16)
+    csum = _counts1(seq)
+    starts = [0] + list(range(16, L - 32, 16))
+    starts = np.asarray(starts, dtype=np.int64)
+    # array length = the C++ resize length ((L-32)>>4)+1; slots past the
+    # loop's reach stay 0 (uninitialized in the reference; see the
+    # fresh-page note on create_features_1_16_parallel)
+    f = np.zeros(((L - 32) >> 4) + 1, dtype=np.int16)
+    f[: len(starts)] = (csum[starts + 32] - csum[starts]).astype(np.int16)
+    return f
+
+
+def create_features_1_32_parallel(seq: np.ndarray, threads: int) -> np.ndarray:
+    """createFeatures1_32 threads variant (src/pmpfinder.cpp:394-423, used
+    for GENOME features): fills range = (len-48)/16 entries (the per-thread
+    rolling chains produce the same window sums as the serial builder)."""
+    L = len(seq)
+    rng = (L - 32 - 16) // 16 if L >= 48 else 0
+    if rng <= 0:
+        return np.zeros(0, dtype=np.int16)
+    csum = _counts1(seq)
+    starts = np.arange(rng, dtype=np.int64) * 16
+    f = np.zeros(((L - 32) >> 4) + 1, dtype=np.int16)
+    f[:rng] = (csum[starts + 32] - csum[starts]).astype(np.int16)
+    return f
+
+
+def create_features_1_16_serial(seq: np.ndarray) -> np.ndarray:
+    """createFeatures1_16 serial (src/pmpfinder.cpp:440-454): window 16,
+    step 16, recomputed per step; fills one entry per k in [0, len-16)."""
+    L = len(seq)
+    if L < 17:
+        return np.zeros(0, dtype=np.int16)
+    csum = _counts1(seq)
+    starts = np.arange(0, L - 16, 16, dtype=np.int64)
+    f = np.zeros(((L - 16) >> 4) + 1, dtype=np.int16)
+    f[: len(starts)] = (csum[starts + 16] - csum[starts]).astype(np.int16)
+    return f
+
+
+def create_features_1_16_parallel(seq: np.ndarray, threads: int) -> np.ndarray:
+    """createFeatures1_16 threads variant (src/pmpfinder.cpp:455-480).
+
+    The reference's per-thread loop runs k in [thd_begin, thd_end - 16),
+    leaving the LAST script of every thread chunk uninitialized (SeqAn
+    resize does not value-construct PODs). For the genome-sized arrays those
+    slots come from fresh mmap'd pages and read back as 0, which is what we
+    emulate (slot value 0).
+    """
+    L = len(seq)
+    rng = (L - 16 - 16) // 16 if L >= 32 else 0
+    if rng <= 0:
+        return np.zeros(0, dtype=np.int16)
+    csum = _counts1(seq)
+    f = np.zeros(((L - 16) >> 4) + 1, dtype=np.int16)
+    # emulate parallelParm_Static chunking (src/pmpfinder.cpp:375-393)
+    chunk = rng // threads
+    rem = rng - chunk * threads
+    pos = 0
+    for t in range(threads):
+        size = chunk + 1 if t < rem else chunk
+        if size <= 0:
+            continue
+        b, e = pos, pos + size
+        pos = e
+        # k in [b*16, e*16 - 16) step 16 -> scripts b .. e-2; script e-1
+        # stays 0 (uninitialized in the reference)
+        idx = np.arange(b, e - 1, dtype=np.int64)
+        if len(idx):
+            starts = idx * 16
+            f[idx] = (csum[starts + 16] - csum[starts]).astype(np.int16)
+    return f
+
+
+def script_dist16_3(s1: int, s2: int) -> int:
+    """__scriptDist16_3 (src/pmpfinder.cpp:332): segment |diffs| with mask
+    31, segment shifts 5/10; the >>10 segment is unmasked (C++ int
+    arithmetic on promoted shorts)."""
+    return (abs((s1 & 31) - (s2 & 31))
+            + abs(((s1 >> 5) & 31) - ((s2 >> 5) & 31))
+            + abs((s1 >> 10) - (s2 >> 10)))
+
+
+def window_dist_1(f1: np.ndarray, f2: np.ndarray, a, b, int_step: int,
+                  scpt_num: int) -> np.ndarray:
+    """_windowDist1_32 / _windowDist1_16 (src/pmpfinder.cpp:344,433):
+    vectorized over index arrays a, b; no bounds checking."""
+    offs = np.arange(scpt_num, dtype=np.int64) * int_step
+    av = np.asarray(a, dtype=np.int64)[..., None] + offs
+    bv = np.asarray(b, dtype=np.int64)[..., None] + offs
+    s1 = f1[av].astype(np.int64)
+    s2 = f2[bv].astype(np.int64)
+    d = (np.abs((s1 & 31) - (s2 & 31))
+         + np.abs(((s1 >> 5) & 31) - ((s2 >> 5) & 31))
+         + np.abs((s1 >> 10) - (s2 >> 10)))
+    return d.sum(axis=-1)
+
+
+def feats1_parts(seq: np.ndarray, ftype: int):
+    """(filled_values, resize_len) of the type-1 serial builders — the
+    caller maintains the persistent SeqAn-String emulation (slots in
+    [len(filled), resize_len) keep their previous content; see
+    map.pmpfinder.FeatBuf)."""
+    L = len(seq)
+    csum = None
+    if ftype == 1:  # 1_32
+        if L < 33:
+            return np.zeros(0, dtype=np.int16), 0
+        csum = _counts1(seq)
+        starts = np.asarray([0] + list(range(16, L - 32, 16)), dtype=np.int64)
+        vals = (csum[starts + 32] - csum[starts]).astype(np.int16)
+        return vals, ((L - 32) >> 4) + 1
+    # 1_16
+    if L < 17:
+        return np.zeros(0, dtype=np.int16), 0
+    csum = _counts1(seq)
+    starts = np.arange(0, L - 16, 16, dtype=np.int64)
+    vals = (csum[starts + 16] - csum[starts]).astype(np.int16)
+    return vals, ((L - 16) >> 4) + 1

@@ -26,3 +26,13 @@ def dbg(tag: str, vals) -> None:
             tag + " " + str(len(vals)) + "".join(" %d" % (int(v) & M64) for v in vals) + "\n"
         )
         _DBG_FILE.flush()
+
+
+def dbg_s(tag: str, vals) -> None:
+    """Signed dump (feature scripts; the instrumented reference prints
+    these with %lld)."""
+    if _DBG_FILE is not None:
+        _DBG_FILE.write(
+            tag + " " + str(len(vals)) + "".join(" %d" % int(v) for v in vals) + "\n"
+        )
+        _DBG_FILE.flush()

@@ -120,7 +120,8 @@ def run_reference(reads_fa, genome_fa, out_prefix, threads, gap_len, extra=()):
 
 
 def run_ours(reads_fa, genome_fa, out_prefix, threads, gap_len, task_split=0,
-             preset=1, f_dup=0, sequence_sam=0, index_type=1, apx_chain_flag=1):
+             preset=1, f_dup=0, sequence_sam=0, index_type=1, apx_chain_flag=1,
+             feature_t=2):
     """task_split emulates the reference pipeline's task granularity: with
     threads > 1 and gaps on, the reference's task->thread race has two
     stable outcomes on a 2-core host — one compute task holding the whole
@@ -134,7 +135,8 @@ def run_ours(reads_fa, genome_fa, out_prefix, threads, gap_len, task_split=0,
                                          preset=preset, f_dup=f_dup,
                                          sequence_sam=sequence_sam,
                                          index_type=index_type,
-                                         apx_chain_flag=apx_chain_flag))
+                                         apx_chain_flag=apx_chain_flag,
+                                         feature_t=feature_t))
     m.prepare()
     sam_path = out_prefix + ".sam"
     apf_path = out_prefix + ".apf"

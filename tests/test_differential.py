@@ -195,3 +195,59 @@ def test_repeat_rich_bit_identical(tmp_path, seed, threads, gap_len):
     assert open(ref_sam).read() == open(my_sam).read()
     strip = lambda p: [l for l in open(p).read().splitlines() if l.strip()]
     assert strip(ref_apf) == strip(my_apf)
+
+
+@needs_ref
+@pytest.mark.parametrize("ft,corpus,gap_len", [
+    (1, "uniform", 0),
+    (1, "repeat", 0),
+    (0, "repeat", 0),
+    (0, "repeat", 50),
+])
+def test_legacy_features_bit_identical(ft, corpus, gap_len):
+    """-f 0/1 (legacy 1_16 / 1_32 feature scripts, src/pmpfinder.cpp:330-483).
+
+    The reference's type-1 _windowDist variants bound-check only the start
+    index (src/pmpfinder.cpp:698-717) and the per-thread FeaturesDynamic
+    buffers are reused across reads (src/mapper.cpp:428-446), so window
+    distances near the read tail READ STALE DATA from previous reads'
+    features — and, past every written slot, uninitialized realloc memory
+    whose content depends on the process's heap layout (observed to change
+    with argv/path lengths).  linear_tpu reproduces the deterministic part
+    exactly (SeqAn Generous growth + stale-tail semantics,
+    map.pmpfinder.FeatBuf) and models never-written memory as 0.  These
+    tests therefore pin the working directory path and the configs where
+    the never-written tail is provably not load-bearing; gap-mode -f 1
+    configs (whose tile scoring reads deeper past the tail) are exact on
+    some paths and one window-distance off on others — see PARITY.md.
+    """
+    base = f"/tmp/lt_f01_dt/f{ft}_{corpus}_g{gap_len}"
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    rng = np.random.default_rng(11)
+    if corpus == "repeat":
+        genomes = [DT.make_repeat_genome(rng, 200000) for _ in range(2)]
+    else:
+        genomes = [rng.integers(0, 4, 200000).astype(np.uint8) for _ in range(2)]
+    genome_fa = os.path.join(base, "g.fa")
+    reads_fa = os.path.join(base, "r.fa")
+    seqio.write_fasta(genome_fa, [f"chr{i} s" for i in range(2)], genomes)
+    reads = DT.simulate(rng, genomes, 32)
+    seqio.write_fasta(reads_fa, [f"read{i} sim" for i in range(len(reads))], reads)
+    ref_sam, ref_apf = DT.run_reference(reads_fa, genome_fa,
+                                        os.path.join(base, "ref"), 1, gap_len,
+                                        extra=("-f", str(ft)))
+    try:
+        my_sam, my_apf = DT.run_ours(reads_fa, genome_fa,
+                                     os.path.join(base, "mine"),
+                                     1, gap_len, feature_t=ft)
+    finally:
+        # restore the module-level window geometry for later tests
+        from linear_tpu.map import pmpfinder as PMP
+
+        PMP.set_feature_type(2)
+    assert open(ref_sam).read() == open(my_sam).read()
+    strip = lambda p: [l for l in open(p).read().splitlines() if l.strip()]  # noqa: E731
+    assert strip(ref_apf) == strip(my_apf)
