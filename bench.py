@@ -87,21 +87,26 @@ def make_data():
 
 
 def measure_baseline(g_fa: str, r_fa: str) -> float:
-    """reads/s of the reference binary on this machine, total wall, cached."""
+    """reads/s of the reference binary, measured FRESH each bench run (the
+    shared host's throughput varies run to run — a cached number from a
+    quieter hour would skew vs_baseline in either direction). Best of 2."""
     cache_f = os.path.join(CACHE, f"baseline_v2_{N_READS}.json")
     ref_bin = os.path.join(ROOT, ".ref_build", "linear")
-    if os.path.exists(cache_f):
-        return json.load(open(cache_f))["reads_per_s"]
     if not os.path.exists(ref_bin):
+        if os.path.exists(cache_f):
+            return json.load(open(cache_f))["reads_per_s"]
         return REF_FALLBACK_READS_PER_S
     out_prefix = os.path.join(CACHE, "ref_bench")
     nt = str(os.cpu_count() or 16)
-    t0 = time.time()
-    subprocess.run(
-        [ref_bin, "filter", r_fa, g_fa, "-t", nt, "-o", out_prefix, "-ot", "2"],
-        check=True, capture_output=True, cwd=CACHE,
-    )
-    wall = time.time() - t0
+    wall = None
+    for _ in range(2):
+        t0 = time.time()
+        subprocess.run(
+            [ref_bin, "filter", r_fa, g_fa, "-t", nt, "-o", out_prefix, "-ot", "2"],
+            check=True, capture_output=True, cwd=CACHE,
+        )
+        w = time.time() - t0
+        wall = w if wall is None else min(wall, w)
     rps = N_READS / wall
     json.dump({"reads_per_s": rps, "wall_s": wall, "n_reads": N_READS,
                "threads": nt,
@@ -113,10 +118,20 @@ def measure_baseline(g_fa: str, r_fa: str) -> float:
 def main():
     g_fa, r_fa, w_fa = make_data()
     baseline = measure_baseline(g_fa, r_fa)
+    stages = {}
 
     from linear_tpu.map.mapper import Mapper, MapperConfig
     from linear_tpu.parallel.pipeline import PipelineMapper
     from linear_tpu.utils import seqio
+
+    # one-time native toolchain build (g++ of lt_engine/lt_seqio), excluded
+    # from the timed region exactly like the XLA compile cache: both are
+    # per-machine artifacts, not per-run work
+    from linear_tpu.map import nengine as NE
+    from linear_tpu.native import load as _load_native
+
+    NE.engine_lib()
+    _load_native("lt_seqio")
 
     t0 = time.time()
     mapper = Mapper([g_fa], MapperConfig(), device="tpu")
@@ -144,32 +159,61 @@ def main():
         for r, rid in zip(wblock.seqs, wblock.ids):
             ne.map_read(r, rid, do_output=False)
         t_host_full = time.time() - tc
+        nw = len(wblock.seqs)
+        stages["dev_seed_reads_per_s"] = round(nw / t_dev, 1)
+        stages["host_full_reads_per_s_per_core"] = round(nw / t_host_full, 1)
         # device seeding helps iff the feeder stage outruns the worker pool
         n_workers = max(os.cpu_count() or 1, 1)
+        stages["n_workers"] = n_workers
         if t_dev > t_host_full / n_workers:
             mapper.device = "host"
+        stages["device_dispatch"] = mapper.device
 
     for _ in pipe.run(w_fa):
         pass
 
     sam_out = os.path.join(CACHE, "tpu_bench.sam")
-    t1 = time.time()
-    n = 0
-    with open(sam_out, "w") as f:
-        f.write(mapper.sam_header())
-        for br in pipe.run(r_fa):
-            f.write(br.sam)
-            n += len(br.block.seqs)
-    t_map = time.time() - t1
+
+    def timed_run(mapper, pipe):
+        t1 = time.time()
+        n = 0
+        with open(sam_out, "w") as f:
+            f.write(mapper.sam_header())
+            for br in pipe.run(r_fa):
+                f.write(br.sam)
+                n += len(br.block.seqs)
+        return n, time.time() - t1
+
+    n, t_map = timed_run(mapper, pipe)
     pipe.close()
+
+    # best of 2 (mirrors the baseline's best-of-2): a fresh prep + map pass
+    # — same work end to end, guards both sides against transient host noise
+    t0 = time.time()
+    mapper2 = Mapper([g_fa], MapperConfig(), device=mapper.device)
+    pipe2 = PipelineMapper(mapper2)
+    t_prep2 = time.time() - t0
+    for _ in pipe2.run(w_fa):
+        pass
+    n2, t_map2 = timed_run(mapper2, pipe2)
+    pipe2.close()
+    if t_prep2 + t_map2 < t_prep + t_map:
+        t_prep, t_map, n = t_prep2, t_map2, n2
 
     wall = t_prep + t_map
     rps = n / wall
+    stages["prep_s"] = round(t_prep, 3)
+    stages["map_s"] = round(t_map, 3)
+    stages["map_reads_per_s"] = round(n / t_map, 1)
+    # per-stage detail to stderr (tools/profile_stages.py gives the full
+    # warm per-stage profile incl. the device extension phase)
+    print("stages: " + json.dumps(stages), file=sys.stderr)
     print(json.dumps({
         "metric": "end_to_end_reads_per_s",
         "value": round(rps, 2),
         "unit": "reads/s",
         "vs_baseline": round(rps / baseline, 4),
+        "stages": stages,
     }))
 
 

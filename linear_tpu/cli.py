@@ -85,6 +85,12 @@ def run_filter(args) -> int:
         bal_flag=args.bal_flag,
         feature_t=args.feature_type,
     )
+    if args.device == "tpu":
+        # multi-host: jax.distributed from JAX_COORDINATOR_ADDRESS /
+        # JAX_NUM_PROCESSES / JAX_PROCESS_ID (no-op when unset)
+        from .parallel.mesh import init_distributed
+
+        init_distributed()
     t0 = time.time()
     mapper = Mapper(genome_paths, cfg, device=args.device)
     if len(mapper.genomes) >= 1024:

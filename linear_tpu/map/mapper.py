@@ -382,7 +382,7 @@ class Mapper:
         from . import nengine as NE
 
         return (NE.enabled() and not self.cfg.aln_flag
-                and self.cfg.index_type == 1 and self.cfg.feature_t == 2)
+                and self.cfg.index_type in (1, 2) and self.cfg.feature_t == 2)
 
     def native_engine(self):
         """The per-process native engine (lt_engine), or None. Created
@@ -396,7 +396,7 @@ class Mapper:
         from . import nengine as NE
 
         if (not NE.enabled() or self.cfg.aln_flag or self.index is None
-                or self.cfg.index_type != 1 or self.cfg.feature_t != 2):
+                or self.cfg.index_type not in (1, 2) or self.cfg.feature_t != 2):
             return None
         g = self.cfg.gap_len
         gap_min = 0 if not g else (50 if g == 1 else (10 if g < 10 else g))

@@ -44,6 +44,14 @@ def engine_lib():
                 C.c_double,                     # cah_stop_ratio (preset)
                 C.POINTER(C.c_char_p),          # genome ids
             ]
+            lib.le_set_hindex.restype = None
+            lib.le_set_hindex.argtypes = [
+                C.c_void_p,
+                C.c_void_p, C.c_int64,          # ysa, n_ysa
+                C.c_void_p, C.c_void_p,         # xs_val1, xs_val2
+                C.c_int64, C.c_int64,           # xs_mask, empty_dir
+                C.c_int, C.c_int,               # span, weight
+            ]
             lib.le_reset.restype = None
             lib.le_reset.argtypes = [C.c_void_p]
             lib.le_destroy.restype = None
@@ -151,8 +159,14 @@ class NativeEngine:
         # pinned references (the engine stores raw pointers)
         self._genomes = [np.ascontiguousarray(g, dtype=np.uint8) for g in genomes]
         self._gfeats = [np.ascontiguousarray(f, dtype=np.int32) for f in gfeats]
-        self._dir = np.ascontiguousarray(index.dir, dtype=np.int32)
-        self._hs = np.ascontiguousarray(index.hs, dtype=np.uint64)
+        self._hindex = None
+        if hasattr(index, "ysa"):  # -i 2 HIndex: engine seeds via le_hindex
+            self._hindex = index
+            self._dir = np.zeros(2, dtype=np.int32)
+            self._hs = np.zeros(0, dtype=np.uint64)
+        else:
+            self._dir = np.ascontiguousarray(index.dir, dtype=np.int32)
+            self._hs = np.ascontiguousarray(index.hs, dtype=np.uint64)
         n = len(self._genomes)
         gptrs = (C.c_void_p * n)(*[g.ctypes.data for g in self._genomes])
         glens = (C.c_int64 * n)(*[len(g) for g in self._genomes])
@@ -165,6 +179,15 @@ class NativeEngine:
             index.span, index.weight,
             thd_DI, thd_X, gap_len_min, f_dup, f_chain,
             sequence_sam, reform_ccs, cah_stop_ratio, gids)
+        if self._hindex is not None:
+            hi = self._hindex
+            self._hi_ysa = np.ascontiguousarray(hi.ysa, dtype=np.uint64)
+            self._hi_v1 = np.ascontiguousarray(hi.xs_val1, dtype=np.uint64)
+            self._hi_v2 = np.ascontiguousarray(hi.xs_val2, dtype=np.int64)
+            lib.le_set_hindex(self._h, self._hi_ysa.ctypes.data,
+                              len(self._hi_ysa), self._hi_v1.ctypes.data,
+                              self._hi_v2.ctypes.data, hi.xs_mask,
+                              hi.empty_dir, hi.span, hi.weight)
 
     def __del__(self):
         try:

@@ -6,6 +6,7 @@
 #include "le_chain.hpp"
 #include "le_feats.hpp"
 #include "le_hash.hpp"
+#include "le_hindex.hpp"
 
 namespace le {
 
@@ -670,6 +671,7 @@ struct ApxContext {
     const Feats* const* f2;   // per-genome features (array of pointers)
     const u8* read;
     i64 read_len;
+    const HIndexView* hindex = nullptr;  // -i 2: query this instead of index
 };
 
 // mnMapReadList (src/pmpfinder.cpp:2560), DIndex path
@@ -684,13 +686,18 @@ static inline void mn_map_read_list(const ApxContext& cx_, std::vector<u64>& anc
         anchors.insert(anchors.end(), pm.seed_anchors,
                        pm.seed_anchors + pm.n_seed);
         pm.seed_used = true;
+    } else if (cx_.hindex != nullptr) {
+        query_anchors_h(*cx_.hindex, cx_.read, cx_.read_len, read_str,
+                        read_end, pm.thd_alpha, (u64)cxid(map_str),
+                        (u64)cxid(map_end), anchors);
     } else {
         query_anchors(*cx_.index, cx_.read, cx_.read_len, read_str, read_end,
                       pm.thd_alpha, anchors);
     }
     if (alg_type == 1) {
         std::vector<u64> alist;
-        get_d_anchor_list(anchors, read_str, read_end, cx_.index->span, alist);
+        int span_ = cx_.hindex ? cx_.hindex->span : cx_.index->span;
+        get_d_anchor_list(anchors, read_str, read_end, span_, alist);
         get_d_hit_list(hits, alist, anchors, pm);
     } else if (alg_type == 2) {
         get_anchor_hits_chains(anchors, hits, hits_score, cx_.read_len, pm);

@@ -24,6 +24,8 @@
 #include "le_out.hpp"
 
 #include <map>
+#include <omp.h>
+#include <sys/mman.h>
 #include <memory>
 
 using namespace le;
@@ -40,6 +42,8 @@ struct Engine {
     std::vector<const Feats*> gfeat_ptrs;
     std::vector<std::string> genome_ids;
     DIndexView index;
+    HIndexView hindex;
+    bool has_hindex = false;
     // output config
     i64 thd_DI = INF60, thd_X = INF60;
     i64 gap_len_min = 50;  // 0 = gaps off
@@ -147,6 +151,7 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
         // apx phase
         ApxContext acx;
         acx.index = &e->index;
+        acx.hindex = e->has_hindex ? &e->hindex : nullptr;
         acx.f1 = e->f1_buf;
         acx.f2 = e->gfeat_ptrs.data();
         acx.read = read;
@@ -198,6 +203,24 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
 // (apxMap_ src/pmpfinder.cpp:2632 before path_dst). The device then runs
 // _filterHits + path_dst_2 (linear_tpu/ops/extend_dev.py) and le_apx_finish
 // consumes its cords. Buffers valid until the next call on this engine.
+// -i 2: register host-built HIndex tables (index/hindex.py); the engine
+// then seeds via getHIndexMatchAll instead of the DIndex probe. Pointers
+// are pinned by the Python caller for the engine's lifetime.
+void le_set_hindex(void* ep, const u64* ysa, i64 n_ysa, const u64* xs_val1,
+                   const i64* xs_val2, i64 xs_mask, i64 empty_dir, int span,
+                   int weight) {
+    Engine* e = (Engine*)ep;
+    e->hindex.ysa = ysa;
+    e->hindex.n_ysa = n_ysa;
+    e->hindex.xs_val1 = xs_val1;
+    e->hindex.xs_val2 = xs_val2;
+    e->hindex.xs_mask = (u64)xs_mask;
+    e->hindex.empty_dir = empty_dir;
+    e->hindex.span = span;
+    e->hindex.weight = weight;
+    e->has_hindex = true;
+}
+
 int le_apx_hits(void* ep, const u8* read, i64 read_len, const u64* seeds,
                 i64 n_seeds, const u64** out_hits, i64* out_n) {
     Engine* e = (Engine*)ep;
@@ -205,6 +228,7 @@ int le_apx_hits(void* ep, const u8* read, i64 read_len, const u64* seeds,
     if (read_len > THD_MIN_READ_LEN) {
         ApxContext acx;
         acx.index = &e->index;
+        acx.hindex = e->has_hindex ? &e->hindex : nullptr;
         acx.f1 = e->f1_buf;  // untouched before path_dst
         acx.f2 = e->gfeat_ptrs.data();
         acx.read = read;
@@ -372,24 +396,49 @@ void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
         p.clear();
         p.shrink_to_fit();
     }
-    // sequential prefault of the (lazily zero-mapped numpy) table: random
-    // first-touch during the histogram leaves a sparse fault pattern that
-    // slows the streaming prefix pass ~2x (measured on the bench host)
+    // back the 268 MB table with transparent hugepages (the host runs THP
+    // in madvise mode): 2 MB faults instead of 64k 4 KB faults make the
+    // prefault + streaming passes page-table-cheap
+    {
+        const uintptr_t HP = (uintptr_t)2 << 20;
+        uintptr_t a = (uintptr_t)dir_out;
+        uintptr_t lo = (a + HP - 1) & ~(HP - 1);
+        uintptr_t hi = (a + (uintptr_t)full * sizeof(i32)) & ~(HP - 1);
+        if (hi > lo) madvise((void*)lo, hi - lo, MADV_HUGEPAGE);
+    }
+    // prefault of the (lazily zero-mapped numpy) table: random first-touch
+    // during the histogram leaves a sparse fault pattern that slows the
+    // streaming prefix pass ~2x (measured on the bench host)
 #pragma omp parallel for schedule(static)
     for (i64 x = 0; x < full; x += 1024) dir_out[x] = 0;
     // counting sort with omit filter, in the caller's buffer
     for (auto& s : samples) dir_out[s.first + 1]++;
-    // fused omit + prefix sum over the 4^weight-entry table in ONE
-    // streaming pass (the original separate omit and prefix passes each
-    // streamed the 268 MB table; and OS page-fault serialization makes
-    // chunk-parallel variants SLOWER inside the host process, measured)
+    // fused omit + prefix sum over the 4^weight-entry table: chunked
+    // two-pass so both cores stream their half (chunk sums first, then
+    // rebase) — with hugepage backing the page-fault serialization that
+    // made this slower pre-THP is gone
     {
-        i64 acc = 0;
-        for (i64 x = 1; x < full; x++) {
-            i32 v = dir_out[x];
-            if (v > omit_block) v = 0;
-            acc += v;
-            dir_out[x] = (i32)acc;
+        const int NC = omp_get_max_threads() > 1 ? 2 * omp_get_max_threads() : 1;
+        std::vector<i64> csum(NC + 1, 0);
+        i64 per = (full - 1 + NC - 1) / NC;
+#pragma omp parallel for schedule(static, 1)
+        for (int c = 0; c < NC; c++) {
+            i64 x0 = 1 + (i64)c * per, x1 = std::min(full, x0 + per);
+            i64 acc = 0;
+            for (i64 x = x0; x < x1; x++) {
+                i32 v = dir_out[x];
+                if (v > omit_block) v = 0;
+                acc += v;
+                dir_out[x] = (i32)acc;  // chunk-local prefix
+            }
+            csum[c + 1] = acc;
+        }
+        for (int c = 1; c <= NC; c++) csum[c] += csum[c - 1];
+#pragma omp parallel for schedule(static, 1)
+        for (int c = 1; c < NC; c++) {
+            i64 x0 = 1 + (i64)c * per, x1 = std::min(full, x0 + per);
+            i32 base = (i32)csum[c];
+            for (i64 x = x0; x < x1; x++) dir_out[x] += base;
         }
     }
     std::sort(samples.begin(), samples.end());

@@ -152,3 +152,121 @@ def sharded_mapping_step(mesh: Mesh, seqs, lens, dir_start, hs_lo, hs_hi,
     hs_lo = jax.device_put(hs_lo, rep)
     hs_hi = jax.device_put(hs_hi, rep)
     return mapping_step(seqs, lens, dir_start, hs_lo, hs_hi, cap=cap, n_max=n_max)
+
+
+def init_distributed() -> int:
+    """Multi-host wiring: initialize jax.distributed from the standard env
+    (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID) so a
+    2-host run sees one global mesh (dp over all chips; DCN between hosts,
+    ICI within). No-op single-process when the env is absent. Returns the
+    process index (0 when not distributed).
+
+    Reference analog: none — the reference is single-node OpenMP
+    (SURVEY §2.3); this is the TPU-native replacement for its missing
+    scale-out story."""
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return 0
+    n = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    pid = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    jax.distributed.initialize(coordinator_address=addr, num_processes=n,
+                               process_id=pid)
+    return pid
+
+
+def make_grid_mesh(n_dp: int, n_ix: int, devices=None) -> Mesh:
+    """2D (dp, ix) mesh: reads sharded over dp, k-mer table sharded over
+    ix. dp should ride the outer (DCN/host) axis and ix the inner ICI axis
+    so the per-read psum merge stays on-chip-interconnect."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_dp * n_ix
+    arr = np.array(devices[: n_dp * n_ix]).reshape(n_dp, n_ix)
+    return Mesh(arr, ("dp", "ix"))
+
+
+def grid_mapping_step(mesh: Mesh, seqs, lens, dir_sh, hs_lo_sh, hs_hi_sh,
+                      x_base, cap: int, n_max: int = 256,
+                      span: int = 21, weight: int = 13, thd_alpha: int = 15):
+    """Full device mapping step on a 2D (dp, ix) mesh: each chip probes
+    (its read shard x its xval shard), one psum over the ix axis merges the
+    per-shard anchors (each (pos, slot) owned by exactly one shard), then
+    the descending-anchor-x sort + windowed chain DP run on the merged
+    dp-sharded anchors — the all-gather-into-chaining step of SURVEY §2.3.
+    The seed+merge phase is explicit shard_map; the sort+chain phase is
+    plain jit over dp-sharded arrays (XLA partitions it; the DP kernel's
+    internal scan carries don't compose with shard_map's varying-axis
+    typing). Bit-identical to mapping_step on one device (asserted by
+    tests/test_mesh_shard.py + __graft_entry__.dryrun_multichip)."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.chain_dp import batch_chain_dp_windowed as _chain
+    from ..ops.seeding import (_closed_form_states, _minimizer_xy_batch,
+                               _probe_and_anchor)
+
+    B, L = seqs.shape
+    n_dp = mesh.shape["dp"]
+    Bs = B // n_dp
+
+    def shard_fn(seqs, lens, dir_s, lo_s, hi_s, xb):
+        dir_s, lo_s, hi_s, xb = dir_s[0], lo_s[0], hi_s[0], xb[0]
+        first = span + thd_alpha - 1
+        ks = jnp.arange(first, L, thd_alpha, dtype=jnp.int64)
+        kmat = jnp.broadcast_to(ks[None, :], (Bs, ks.shape[0]))
+        in_range = kmat < (lens[:, None] - span)
+        n_mix = int(np.sum(np.arange(first, L, thd_alpha) < 2 * span - 1))
+        h, crh, x = _closed_form_states(seqs, kmat, span, n_mix=n_mix)
+        xval, yval, strand = _minimizer_xy_batch(seqs, kmat, h, crh, x, span, weight)
+        anc, keep = _probe_and_anchor(kmat, lens, xval, yval, strand,
+                                      dir_s, lo_s, hi_s, cap, in_range,
+                                      x_base=xb[0], x_hi=xb[1])
+        anc = jax.lax.psum(jnp.where(keep, anc, 0), "ix")
+        keep = jax.lax.psum(keep.astype(jnp.int32), "ix") > 0
+        return anc, keep
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("dp", None), P("dp"), P("ix", None), P("ix", None),
+                  P("ix", None), P("ix", None)),
+        out_specs=(P("dp", None, None), P("dp", None, None)),
+    )
+    dp2 = NamedSharding(mesh, P("dp", None))
+    dp1 = NamedSharding(mesh, P("dp"))
+    ix2 = NamedSharding(mesh, P("ix", None))
+    anc, keep = fn(jax.device_put(seqs, dp2), jax.device_put(lens, dp1),
+                   jax.device_put(dir_sh, ix2), jax.device_put(hs_lo_sh, ix2),
+                   jax.device_put(hs_hi_sh, ix2), jax.device_put(x_base, ix2))
+
+    @partial(jax.jit, static_argnames=("n_max",))
+    def sort_chain(anc, keep, n_max):
+        B2 = anc.shape[0]
+        flat = anc.reshape(B2, -1)
+        kflat = keep.reshape(B2, -1)
+        n_anchors = jnp.minimum(jnp.sum(kflat, axis=1), n_max).astype(jnp.int32)
+        ax = _anchor_x(flat)
+        key = jnp.where(kflat, -ax, jnp.int64(1) << 62)
+        order = jnp.argsort(key, axis=1)[:, :n_max]
+        sorted_anc = jnp.take_along_axis(flat, order, axis=1)
+        p2, score, length, overflow = _chain(sorted_anc, n_anchors, W=64)
+        return sorted_anc, n_anchors, p2, score, length, overflow
+
+    return sort_chain(anc, keep, n_max)
+
+
+def sharded_extend_step(mesh: Mesh, packed, lens, hits, n_hits, gf,
+                        H: int, C: int, R: int, max_iter: int):
+    """Device dense-window extension (_filterHits + path_dst_2,
+    ops.extend_dev) with the read batch sharded over dp and the genome
+    feature table replicated — completes the seed->chain->extend device
+    pipeline on the mesh."""
+    from ..ops import extend_dev as ED
+
+    dp2 = NamedSharding(mesh, P("dp", None))
+    dp1 = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    return ED.batch_filter_extend_packed(
+        jax.device_put(packed, dp2), jax.device_put(lens, dp1),
+        jax.device_put(hits, dp2), jax.device_put(n_hits, dp1),
+        jax.device_put(gf.cat, rep), jax.device_put(gf.off, rep),
+        jax.device_put(gf.rows, rep), H=H, C=C, R=R, max_iter=max_iter)
