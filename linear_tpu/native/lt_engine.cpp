@@ -342,6 +342,15 @@ struct IndexBuild {
 void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
                      i64 n_genomes, int span, int weight, i64 min_step,
                      i64 max_step, i64 omit_block, i64 threads, i32* dir_out) {
+    const bool timing = getenv("LE_TIMING") != nullptr;
+    double t0 = timing ? omp_get_wtime() : 0.0;
+    auto lap = [&](const char* name) {
+        if (!timing) return;
+        double t = omp_get_wtime();
+        fprintf(stderr, "[le_build_index] %-12s %6.1f ms\n", name,
+                (t - t0) * 1e3);
+        t0 = t;
+    };
     IndexBuild* b = new IndexBuild();
     i64 full = (1ll << (2 * weight)) + 1;
     // The (gid, t) thread-blocks are independent scans whose union is
@@ -387,6 +396,7 @@ void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
             }
         }
     }
+    lap("scan");
     size_t total = 0;
     for (auto& p : parts) total += p.size();
     std::vector<std::pair<i64, u64>> samples;
@@ -396,23 +406,19 @@ void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
         p.clear();
         p.shrink_to_fit();
     }
-    // back the 268 MB table with transparent hugepages (the host runs THP
-    // in madvise mode): 2 MB faults instead of 64k 4 KB faults make the
-    // prefault + streaming passes page-table-cheap
-    {
-        const uintptr_t HP = (uintptr_t)2 << 20;
-        uintptr_t a = (uintptr_t)dir_out;
-        uintptr_t lo = (a + HP - 1) & ~(HP - 1);
-        uintptr_t hi = (a + (uintptr_t)full * sizeof(i32)) & ~(HP - 1);
-        if (hi > lo) madvise((void*)lo, hi - lo, MADV_HUGEPAGE);
-    }
-    // prefault of the (lazily zero-mapped numpy) table: random first-touch
-    // during the histogram leaves a sparse fault pattern that slows the
-    // streaming prefix pass ~2x (measured on the bench host)
+    lap("concat");
+    // NOTE on the 268 MB table: do NOT madvise(MADV_HUGEPAGE) here — this
+    // host runs THP defrag=madvise, where hugepage-marked VMAs pay
+    // SYNCHRONOUS compaction on fault (~0.9 s measured for the full table
+    // vs ~0.13 s of plain 4 KB first-touch). Parallel first-touch prefault:
+    // the kernel's fault-time zeroing spreads over all cores and the later
+    // streaming prefix pass hits already-mapped pages.
 #pragma omp parallel for schedule(static)
     for (i64 x = 0; x < full; x += 1024) dir_out[x] = 0;
+    lap("prefault");
     // counting sort with omit filter, in the caller's buffer
     for (auto& s : samples) dir_out[s.first + 1]++;
+    lap("histogram");
     // fused omit + prefix sum over the 4^weight-entry table: chunked
     // two-pass so both cores stream their half (chunk sums first, then
     // rebase) — with hugepage backing the page-fault serialization that
@@ -441,11 +447,14 @@ void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
             for (i64 x = x0; x < x1; x++) dir_out[x] += base;
         }
     }
+    lap("prefix");
     std::sort(samples.begin(), samples.end());
+    lap("sort");
     b->hs.reserve(samples.size());
     for (auto& s : samples)
         if (dir_out[s.first + 1] - dir_out[s.first] > 0)
             b->hs.push_back(s.second);
+    lap("hs_fill");
     return b;
 }
 
