@@ -144,7 +144,8 @@ def run_filter(args) -> int:
                   f"speed:{n_done / max(el, 1e-9):.2f}[reads/s]", file=sys.stderr)
 
         if pipeline is not None:
-            for br in pipeline.run(rpath, collect_bam=bool(f_bam or f_pbsv)):
+            for br in pipeline.run(rpath, collect_bam=bool(f_bam or f_pbsv),
+                                   collect_cords=bool(f_apf)):
                 emit(br.block, br.cords_str, br.cords_end, br.sam, br.bam_lines)
         else:
             for block in seqio.read_blocks(rpath):

@@ -95,6 +95,13 @@ class Mapper:
     # fixed device batch size: keeps the jitted kernel shapes constant
     # across blocks (one compile per (B, pad) bucket, persistent-cached)
     DEV_BATCH = 256
+    # superchunk rows per fused d2h in the block seeding path: the tunnel
+    # pays ~25 ms latency per transfer regardless of size, so results move
+    # in ~1 MB fused arrays (see ops.seeding._seed_superchunk_fused)
+    SEED_SUPERCHUNK = 1024
+    # per-read anchor slots of the fused seed output (measured p100 on the
+    # bench corpus is 80; probed > SEED_M_OUT falls back to host seeding)
+    SEED_M_OUT = 128
     # hits cap of the device extension phase (one compile per (H, pad))
     EXT_H = 256
 
@@ -102,32 +109,84 @@ class Mapper:
         """Batched device seeding for a read block (exact vs the host
         oracle); returns per-read anchor lists or None entries for reads the
         device path does not cover (too long for the pad bucket)."""
+        disp = self._device_seed_dispatch(reads)
+        return self._device_seed_finish(reads, disp)
+
+    def _device_seed_dispatch(self, reads: "seqio.SeqSet"):
+        """Async phase: enqueue all device work for a block (one h2d + one
+        fused kernel/d2h per superchunk) and return a handle; no sync."""
         from ..ops import seeding as SD
 
         if self._dev_index is None:
             self._dev_index = SD.upload_index(self.index)
-        out: List = [None] * len(reads.seqs)
         eligible = [i for i, r in enumerate(reads.seqs)
                     if THD_MIN_READ_LEN < len(r) <= (1 << 17)]
-        # dispatch every chunk before the first sync: the device queue hides
-        # the per-call tunnel latency
+        if not eligible:
+            return ("none", eligible, None)
+        pad = 1 << max(int(np.ceil(np.log2(max(
+            len(reads.seqs[i]) for i in eligible)))), 10)
+        block = SD.seed_block_dispatch(
+            [reads.seqs[i] for i in eligible], self._dev_index, pad_len=pad,
+            m_out=self.SEED_M_OUT, superchunk=self.SEED_SUPERCHUNK)
+        if block is not None:
+            return ("block", eligible, block)
+        # N-containing block: exact scan kernel per DEV_BATCH chunk
         pending = []
         for c0 in range(0, len(eligible), self.DEV_BATCH):
             chunk = eligible[c0: c0 + self.DEV_BATCH]
-            pad = 1 << max(int(np.ceil(np.log2(max(len(reads.seqs[i]) for i in chunk)))), 10)
             batch = [reads.seqs[i] for i in chunk]
             if len(batch) < self.DEV_BATCH:
                 batch = batch + [np.zeros(1, dtype=np.uint8)] * (self.DEV_BATCH - len(batch))
-            # m_out=256 bounds the per-chunk d2h transfer (the whole
-            # (anchors, counts) result moves in ONE round trip); reads with
-            # more probed entries fall back to native host seeding
             pending.append((chunk, SD.seed_anchors_dispatch(
                 batch, self._dev_index, pad_len=pad, m_out=256)))
-        for chunk, disp in pending:
-            anchors = SD.seed_anchors_collect(disp, len(chunk))
+        return ("chunks", eligible, pending)
+
+    def _device_seed_finish(self, reads: "seqio.SeqSet", disp):
+        """Sync phase of _device_seed_dispatch: per-read anchor lists."""
+        from ..ops import seeding as SD
+
+        kind, eligible, payload = disp
+        out: List = [None] * len(reads.seqs)
+        if kind == "none":
+            return out
+        if kind == "block":
+            anchors = SD.seed_block_collect(payload, m_out=self.SEED_M_OUT)
+            for i, a in zip(eligible, anchors):
+                out[i] = a
+            return out
+        for chunk, d in payload:
+            anchors = SD.seed_anchors_collect(d, len(chunk))
             for i, a in zip(chunk, anchors):
                 out[i] = a
         return out
+
+    def _device_seed_stream(self, reads: "seqio.SeqSet"):
+        """Streaming seeding for pipeline overlap: dispatches all device
+        work up front, then yields (ready, seeds) as each superchunk's
+        results land, where `seeds` is the (shared, progressively filled)
+        per-read list and reads[:ready] are final. The last yield has
+        ready == len(reads.seqs)."""
+        from ..ops import seeding as SD
+
+        disp = self._device_seed_dispatch(reads)
+        kind, eligible, payload = disp
+        n = len(reads.seqs)
+        out: List = [None] * n
+        if kind != "block":
+            # none / N-containing chunks path: no useful intermediate
+            # granularity — collect everything, single yield
+            out = self._device_seed_finish(reads, disp)
+            yield n, out
+            return
+        pos = 0
+        for n_valid, fused in payload:
+            anchors = SD.seed_block_collect([(n_valid, fused)],
+                                            m_out=self.SEED_M_OUT)
+            for a, i in zip(anchors, eligible[pos: pos + n_valid]):
+                out[i] = a
+            pos += n_valid
+            ready = eligible[pos] if pos < len(eligible) else n
+            yield ready, out
 
     def _device_extend_block(self, reads: "seqio.SeqSet", hits_list: List):
         """Batched device _filterHits + path_dst_2 (ops.extend_dev) for a
@@ -209,7 +268,7 @@ class Mapper:
             if seeds is None:
                 continue
             anchors = [0]
-            anchors.extend(seeds)
+            anchors.extend(int(a) for a in seeds)
             PMP.filter_anchors(anchors, 1, 2, 2)
             # must match the host's std::sort-exact permutation (PMP.CXS)
             anchors = PMP.CXS.std_sort(anchors, [anchor_x(a) for a in anchors], desc=True)
@@ -317,10 +376,11 @@ class Mapper:
             self.create_index()
 
     def warmup(self, pad: int = 8192, n_buckets=(64, 128, 256, 512, 1024)) -> None:
-        """Compile the device kernels for the fixed batch shapes (one-time
-        per machine; results live in the persistent XLA cache). Covers the
-        seed kernel at (DEV_BATCH, pad) and the chain DP at every pow2-N
-        bucket so no compile lands inside a timed mapping run."""
+        """Compile the device kernels at the PRODUCTION shapes (one-time per
+        machine; results live in the persistent XLA cache): the fused
+        superchunk seed kernel at (SEED_SUPERCHUNK, pad, SEED_M_OUT) — the
+        exact shape _device_seed_block runs — plus the chain DP pow2-N
+        buckets so no compile lands inside a timed mapping run."""
         import jax
         import jax.numpy as jnp
 
@@ -329,8 +389,11 @@ class Mapper:
 
         if self._dev_index is None:
             self._dev_index = SD.upload_index(self.index)
-        batch = [np.zeros(pad, dtype=np.uint8)] * self.DEV_BATCH
-        SD.seed_anchors_batch(batch, self._dev_index, pad_len=pad)
+        reads = [np.zeros(pad, dtype=np.uint8)] * self.SEED_SUPERCHUNK
+        disp = SD.seed_block_dispatch(reads, self._dev_index, pad_len=pad,
+                                      m_out=self.SEED_M_OUT,
+                                      superchunk=self.SEED_SUPERCHUNK)
+        SD.seed_block_collect(disp, m_out=self.SEED_M_OUT)
         cnt = jnp.zeros((self.DEV_BATCH,), dtype=jnp.int32)
         outs = []
         for n in n_buckets:
@@ -411,9 +474,10 @@ class Mapper:
         return self._nengine
 
     def native_map_read(self, read, rid: str, seeds=None, tid: int = 0,
-                        collect_bam: bool = False):
+                        collect_bam: bool = False, collect_cords: bool = True):
         """One read through the native engine: returns (cords_str list,
-        cords_end list, sam text, bam_lines)."""
+        cords_end list, sam text, bam_lines). collect_cords=False skips the
+        u64->Python-int conversion (SAM-only callers)."""
         import numpy as np  # noqa: F811
 
         ne = self._nengine
@@ -421,12 +485,16 @@ class Mapper:
         if seeds is not None:
             s = np.asarray(seeds, dtype=np.uint64)
         cs, ce, sam = ne.map_read(read, rid, seeds=s, tid=tid)
+        if not (collect_cords or collect_bam):
+            return [], [], sam, []
         cs_l = [int(c) for c in cs]
         ce_l = [int(c) for c in ce]
         bam_lines = []
         if collect_bam:
             _, bam_lines = self.read_output(read, rid, cs_l, ce_l,
                                             collect_bam=True)
+        if not collect_cords:
+            return [], [], sam, bam_lines
         return cs_l, ce_l, sam, bam_lines
 
     @staticmethod

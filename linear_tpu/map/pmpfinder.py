@@ -1031,7 +1031,7 @@ def mn_map_read_list(
         anchors.extend(int(a) for a in got)
     elif (pm.seed_anchors is not None and read_str == 0 and pm.thd_alpha == 15
             and read_end >= len(read)):
-        anchors.extend(pm.seed_anchors)
+        anchors.extend(int(a) for a in pm.seed_anchors)
     else:
         got = DI.query_anchors(index, read, read_str, read_end, thd_alpha=pm.thd_alpha)
         anchors.extend(int(a) for a in got)

@@ -93,12 +93,133 @@ struct DIndexView {
     int span, weight;
 };
 
+// val2Anchor emission for a precomputed bucket span
+static inline void emit_bucket2(const DIndexView& ix, const HashStream& st,
+                                i64 lo, i64 hi, i64 j, i64 read_len,
+                                std::vector<u64>& anchors) {
+    for (i64 e = lo; e < hi; e++) {
+        u64 ent = ix.hs[e];
+        u64 val = (ent & MASK_Y) ^ st.yval;
+        if (val != 0) {
+            int ctz = __builtin_ctzll(val);
+            if ((val >> ctz) >= 4) continue;
+        }
+        int same = (cstrand(ent) == st.strand);
+        u64 cordy = same ? (u64)j : (u64)(read_len - 1 - j);
+        u64 anc = ent - (cordy << 20) + cordy - (ent & MASK_Y);
+        anc = same ? (anc & ~FLAG_STRAND) : (anc | FLAG_STRAND);
+        anchors.push_back(anc);
+    }
+}
+
+// bucket probe + val2Anchor emission for one sampled position (shared by
+// the rolling and closed-form paths of query_anchors)
+static inline void emit_bucket(const DIndexView& ix, const HashStream& st,
+                               i64 j, i64 read_len, std::vector<u64>& anchors) {
+    i64 lo = ix.dir[st.xval], hi = ix.dir[st.xval + 1];
+    for (i64 e = lo; e < hi; e++) {
+        u64 ent = ix.hs[e];
+        u64 val = (ent & MASK_Y) ^ st.yval;
+        if (val != 0) {
+            int ctz = __builtin_ctzll(val);
+            if ((val >> ctz) >= 4) continue;
+        }
+        int same = (cstrand(ent) == st.strand);
+        u64 cordy = same ? (u64)j : (u64)(read_len - 1 - j);
+        u64 anc = ent - (cordy << 20) + cordy - (ent & MASK_Y);
+        anc = same ? (anc & ~FLAG_STRAND) : (anc | FLAG_STRAND);
+        anchors.push_back(anc);
+    }
+}
+
 // getDIndexMatchAll (src/pmpfinder.cpp:1856-1913) + val2Anchor
 // (src/index_util.cpp:1509): emit anchors for read range [read_str, read_end)
 static inline void query_anchors(const DIndexView& ix, const u8* read,
                                  i64 read_len, i64 read_str, i64 read_end,
                                  i64 thd_alpha, std::vector<u64>& anchors) {
     int span = ix.span;
+    // Fast path: the rolling state at a sampled call position j telescopes
+    // to a closed form once j >= 2*span - 1 (same algebra the device seed
+    // kernel uses, ops/seeding.py _closed_form_states):
+    //   h    = pack(read[j .. j+span)) MSB-first
+    //   crh  = sum_i (3 - read[j+i]) * 4^i
+    //   x    = 2*S(j, j+span) - 3*span + bias,
+    //   bias = 2*(S(0, span-1) - S(span, 2*span-1))
+    // Exact only for read_str == 0 and N-free prefixes, so scan for N once;
+    // mixed early samples (j < 2*span - 1) and N reads take the roll below.
+    // This skips the per-position hashNexth roll (~15 positions advanced
+    // per sample at thd_alpha=15): seeding drops ~3x on CLR-length reads.
+    if (read_str == 0 && read_end - span > read_str + span) {
+        bool has_n = false;
+        i64 scan_end = std::min(read_len, read_end);
+        for (i64 i = 0; i < scan_end && !has_n; i++) has_n = read[i] == 4;
+        if (!has_n) {
+            HashStream st(span, ix.weight);
+            i64 bias = 0;
+            for (int i = 0; i < span - 1; i++) bias += read[i];
+            for (int i = span; i < 2 * span - 1; i++) bias -= read[i];
+            bias *= 2;
+            u64 xpre = 0;
+            i64 j_end = read_end - span;
+            i64 j = span + thd_alpha - 1;
+            // leading mixed samples: exact short roll from hashInit
+            if (j < j_end && j < 2 * span - 1) {
+                st.init(read, read_len, 0);
+                for (i64 p = span; j < j_end && j < 2 * span - 1;
+                     j += thd_alpha) {
+                    for (; p <= j; p++) st.nexth(read, p);
+                    st.nextx(read, read_len, j);
+                    if (st.xval != xpre) {
+                        xpre = st.xval;
+                        emit_bucket(ix, st, j, read_len, anchors);
+                    }
+                }
+            }
+            // pass 1: closed-form states + minimizer at every remaining
+            // sample, prefetching the dir cache line a few samples ahead —
+            // the probe is ~460 independent random accesses into a 268 MB
+            // table per CLR read, so memory-level parallelism (not the
+            // hash math) decides the seeding rate
+            struct Sample { u64 xval, yval; i64 j; int strand; };
+            std::vector<Sample> ss;
+            ss.reserve((j_end - j) / thd_alpha + 1);
+            for (; j < j_end; j += thd_alpha) {
+                u64 h = 0, crh = 0;
+                i64 s = 0;
+                for (int i = 0; i < span; i++) {
+                    u64 v = read[j + i];
+                    h = (h << 2) + v;
+                    crh += (3 - v) << (2 * i);
+                    s += (i64)v;
+                }
+                st.h = h;
+                st.crh = crh;
+                st.x = 2 * s - 3 * span + bias;
+                st.nextx(read, read_len, j);
+                if (st.xval == xpre) continue;
+                xpre = st.xval;
+                __builtin_prefetch(&ix.dir[st.xval], 0, 1);
+                ss.push_back({st.xval, st.yval, j, st.strand});
+            }
+            // pass 2: bucket spans (dir lines are warm), prefetch hs
+            // entries one sample ahead, then emit
+            size_t m = ss.size();
+            std::vector<std::pair<i32, i32>> spans_(m);
+            for (size_t t = 0; t < m; t++) {
+                spans_[t] = {ix.dir[ss[t].xval], ix.dir[ss[t].xval + 1]};
+                if (spans_[t].second > spans_[t].first)
+                    __builtin_prefetch(&ix.hs[spans_[t].first], 0, 1);
+            }
+            for (size_t t = 0; t < m; t++) {
+                st.xval = ss[t].xval;
+                st.yval = ss[t].yval;
+                st.strand = ss[t].strand;
+                emit_bucket2(ix, st, spans_[t].first, spans_[t].second,
+                             ss[t].j, read_len, anchors);
+            }
+            return;
+        }
+    }
     HashStream st(span, ix.weight);
     if (st.init(read, read_len, 0) < 0) return;
     u64 xpre = 0;
@@ -111,20 +232,7 @@ static inline void query_anchors(const DIndexView& ix, const u8* read,
         st.nextx(read, read_len, j);
         if (st.xval == xpre) continue;
         xpre = st.xval;
-        i64 lo = ix.dir[st.xval], hi = ix.dir[st.xval + 1];
-        for (i64 e = lo; e < hi; e++) {
-            u64 ent = ix.hs[e];
-            u64 val = (ent & MASK_Y) ^ st.yval;
-            if (val != 0) {
-                int ctz = __builtin_ctzll(val);
-                if ((val >> ctz) >= 4) continue;
-            }
-            int same = (cstrand(ent) == st.strand);
-            u64 cordy = same ? (u64)j : (u64)(read_len - 1 - j);
-            u64 anc = ent - (cordy << 20) + cordy - (ent & MASK_Y);
-            anc = same ? (anc & ~FLAG_STRAND) : (anc | FLAG_STRAND);
-            anchors.push_back(anc);
-        }
+        emit_bucket(ix, st, j, read_len, anchors);
     }
 }
 

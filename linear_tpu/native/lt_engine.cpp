@@ -69,6 +69,10 @@ struct Engine {
     std::vector<i64> heads;
     std::vector<std::string> head_gids;
 
+    // per-phase wall accumulators (ns), reported by le_stage_ns: cheap
+    // always-on observability (4 clock reads per mapped read)
+    i64 ph_ns[4] = {0, 0, 0, 0};  // features+apx-pre, apx, gap, output
+
     GapParms& gap_parms(int tid) {
         auto it = parms.find(tid);
         if (it == parms.end()) {
@@ -136,6 +140,12 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
                 const u64** out_cs, const u64** out_ce, i64* out_n,
                 const char** out_sam, i64* out_sam_len) {
     Engine* e = (Engine*)ep;
+    double tp = omp_get_wtime();
+    auto phase = [&](int k) {
+        double t = omp_get_wtime();
+        e->ph_ns[k] += (i64)((t - tp) * 1e9);
+        tp = t;
+    };
     e->out_cs.clear();
     e->out_ce.clear();
     e->out_sam.clear();
@@ -148,6 +158,7 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
         // read features fwd/rc (createFeatures serial, src/mapper.cpp:445)
         create_features_read(read, read_len, e->f1_buf[0]);
         create_features_read(e->rc_buf.data(), read_len, e->f1_buf[1]);
+        phase(0);
         // apx phase
         ApxContext acx;
         acx.index = &e->index;
@@ -164,6 +175,7 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
         std::vector<PII> apx_gaps;
         std::vector<i64> cords_info;
         apx_map(acx, e->f_chain, pm, e->out_cs, e->out_ce, apx_gaps, cords_info);
+        phase(1);
         // gap phase
         if (e->gap_len_min > 0) {
             GapContext gcx;
@@ -178,6 +190,7 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
             map_gaps(gcx, e->out_cs, e->out_ce, e->gap_parms(tid));
             reform_cords(e->out_cs, e->out_ce);
         }
+        phase(2);
     }
     // output (print side of p_calRecords, src/mapper.cpp:452-473)
     if (do_output) {
@@ -189,6 +202,7 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
             synth_seq(e->records, e->heads, e->genomes.data(),
                       e->genome_lens.data(), read, e->rc_buf.data(), read_len);
         sam_lines(e->records, e->heads, e->head_gids, rid, e->out_sam);
+        phase(3);
     }
     *out_cs = e->out_cs.data();
     *out_ce = e->out_ce.data();
@@ -260,6 +274,12 @@ int le_apx_finish(void* ep, const u8* read, i64 read_len, const char* rid,
                   const u64** out_cs, const u64** out_ce, i64* out_n,
                   const char** out_sam, i64* out_sam_len) {
     Engine* e = (Engine*)ep;
+    double tp = omp_get_wtime();
+    auto phase = [&](int k) {
+        double t = omp_get_wtime();
+        e->ph_ns[k] += (i64)((t - tp) * 1e9);
+        tp = t;
+    };
     e->out_cs.assign(cords_in, cords_in + n_cords_in);
     e->out_ce.clear();
     e->out_sam.clear();
@@ -274,6 +294,7 @@ int le_apx_finish(void* ep, const u8* read, i64 read_len, const char* rid,
             e->rc_buf[i] = comp[read[read_len - 1 - i]];
         create_features_read(read, read_len, e->f1_buf[0]);
         create_features_read(e->rc_buf.data(), read_len, e->f1_buf[1]);
+        phase(0);
         if (e->gap_len_min > 0) {
             GapContext gcx;
             gcx.genomes = e->genomes.data();
@@ -287,6 +308,7 @@ int le_apx_finish(void* ep, const u8* read, i64 read_len, const char* rid,
             map_gaps(gcx, e->out_cs, e->out_ce, e->gap_parms(tid));
             reform_cords(e->out_cs, e->out_ce);
         }
+        phase(2);
     }
     if (do_output) {
         cords2bamlink(e->out_cs, e->out_ce, read_len, 8000, e->thd_DI, e->thd_X,
@@ -297,6 +319,7 @@ int le_apx_finish(void* ep, const u8* read, i64 read_len, const char* rid,
             synth_seq(e->records, e->heads, e->genomes.data(),
                       e->genome_lens.data(), read, e->rc_buf.data(), read_len);
         sam_lines(e->records, e->heads, e->head_gids, rid, e->out_sam);
+        phase(3);
     }
     *out_cs = e->out_cs.data();
     *out_ce = e->out_ce.data();
@@ -456,6 +479,11 @@ void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
             b->hs.push_back(s.second);
     lap("hs_fill");
     return b;
+}
+
+void le_stage_ns(void* ep, i64* out4) {
+    Engine* e = (Engine*)ep;
+    for (int k = 0; k < 4; k++) { out4[k] = e->ph_ns[k]; e->ph_ns[k] = 0; }
 }
 
 i64 le_index_hs_len(void* bp) { return (i64)((IndexBuild*)bp)->hs.size(); }

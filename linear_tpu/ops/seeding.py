@@ -289,6 +289,90 @@ def _probe_compact(kmat, lens, xval, yval, strand, dir_start, hs_lo, hs_hi,
     return anc.astype(jnp.int64), keep, probed
 
 
+def _minimizer_xy_strided(seqs: jnp.ndarray, first: int, P: int,
+                          span: int, weight: int, thd_alpha: int,
+                          n_mix: int):
+    """hashNextX at the arithmetic call grid k = first + thd_alpha*p,
+    computed WITHOUT u64 state packs: each of the span-weight+1 minimizer
+    candidates is a weight-base (26-bit) pack that fits int32, and every
+    base it needs lives on a strided column grid.
+
+    The u64 closed-form path gathers (B, P, span) u64 elements and packs
+    them with emulated-64-bit multiply-adds (~390 ms/superchunk measured);
+    here the same windows come from `span` strided slices (no gather) and
+    int32 shift-adds (~10 ms). Bit-exact vs the u64 path for regular calls
+    (window values < 2^26); the n_mix leading columns that mix in
+    hashInit-tail state are spliced from the exact u64 path.
+
+    seqs: (B, L) int32 with >= span + 3 zero columns of right padding
+    beyond the last call position. Returns (xval i64, yval i64, strand
+    i64, kmat i64): (B, P)."""
+    B = seqs.shape[0]
+    L = seqs.shape[1]
+    n_off = span - weight + 1
+    # base columns: cols[j][b, p] = seqs[b, first + thd_alpha*p + j]
+    cols = [jax.lax.slice(seqs, (0, first + j),
+                          (B, first + j + thd_alpha * (P - 1) + 1),
+                          (1, thd_alpha)) for j in range(span)]
+    # GC-skew counter x(k) = 2*S(k, k+span) - 3*span + bias (see
+    # _closed_form_states): window sum over the span columns + per-read bias
+    wsum = cols[0]
+    for j in range(1, span):
+        wsum = wsum + cols[j]
+    head = seqs[:, : 2 * span - 1].astype(jnp.int32)
+    bias = 2 * (jnp.sum(head[:, : span - 1], axis=1)
+                - jnp.sum(head[:, span: 2 * span - 1], axis=1))
+    x = 2 * wsum - 3 * span + bias[:, None]
+    strand_f = x > 0
+    # forward candidates: hw[idx] = pack(b[k+idx .. k+idx+weight)) MSB-first
+    # revcomp candidates: cw[idx] = pack(3-b[k+span-1-idx-t], t=0..weight-1)
+    # init above any candidate (all candidates < 2^(2*weight))
+    xval = jnp.full((B, P), jnp.int32(1 << (2 * weight)), dtype=jnp.int32)
+    tsel = jnp.zeros((B, P), dtype=jnp.int32)
+    for idx in range(n_off):
+        hw = cols[idx]
+        cwv = 3 - cols[span - 1 - idx]
+        for t in range(1, weight):
+            hw = (hw << 2) + cols[idx + t]
+            cwv = (cwv << 2) + (3 - cols[span - 1 - idx - t])
+        v1 = jnp.where(strand_f, hw, cwv)
+        better = v1 < xval
+        xval = jnp.where(better, v1, xval)
+        tsel = jnp.where(better, jnp.int32(idx), tsel)
+    strand = (~strand_f).astype(jnp.int64)
+    ks = jnp.arange(first, first + thd_alpha * P, thd_alpha, dtype=jnp.int64)
+    kmat = jnp.broadcast_to(ks[None, :], (B, P))
+    # YValue: 4 bases adjacent to the chosen window (joff == idx; see
+    # _minimizer_xy_batch — (t>>1) - 32 + span with t = 64-2*span+2*idx
+    # reduces to idx)
+    joff = tsel.astype(jnp.int64)
+    fwd_base = kmat + joff + weight
+    rev_base = kmat + span - joff - weight - 1
+    yval = jnp.zeros((B, P), dtype=jnp.int64)
+    for i in range(4):
+        fi = jnp.clip(fwd_base + i, 0, L - 1)
+        ri = jnp.clip(rev_base - i, 0, L - 1)
+        vf = jnp.where(fwd_base + i < L,
+                       jnp.take_along_axis(seqs, fi, axis=1), 0).astype(jnp.int64)
+        vr = 3 - jnp.where(rev_base - i >= 0,
+                           jnp.take_along_axis(seqs, ri, axis=1), 0).astype(jnp.int64)
+        val = jnp.where(strand == 0, vf, vr)
+        add = jnp.where((val >= 0) & (val <= 3), val, 0)
+        yval = (yval << 2) + add
+    xval64 = xval.astype(jnp.int64)
+    if n_mix > 0:
+        # leading mixed calls (k < 2*span - 1): exact u64 state path on the
+        # (B, n_mix) slice only
+        kmix = kmat[:, :n_mix]
+        hj, crhj, xj = _closed_form_states(seqs, kmix, span, n_mix=n_mix)
+        xv_m, yv_m, st_m = _minimizer_xy_batch(seqs, kmix, hj, crhj, xj,
+                                               span, weight)
+        xval64 = jnp.concatenate([xv_m, xval64[:, n_mix:]], axis=1)
+        yval = jnp.concatenate([yv_m, yval[:, n_mix:]], axis=1)
+        strand = jnp.concatenate([st_m, strand[:, n_mix:]], axis=1)
+    return xval64, yval, strand, kmat
+
+
 @partial(jax.jit, static_argnames=("span", "weight", "thd_alpha", "cap", "m_out", "packed"))
 def batch_seed_anchors_compact(seqs: jnp.ndarray, lens: jnp.ndarray,
                                dir_start: jnp.ndarray, hs_lo: jnp.ndarray,
@@ -312,13 +396,14 @@ def batch_seed_anchors_compact(seqs: jnp.ndarray, lens: jnp.ndarray,
     seqs = seqs.astype(jnp.int32)
     B, L = seqs.shape
     first = span + thd_alpha - 1
-    ks = jnp.arange(first, L, thd_alpha, dtype=jnp.int64)
-    P = ks.shape[0]
-    kmat = jnp.broadcast_to(ks[None, :], (B, P))
-    in_range = kmat < (lens[:, None] - span)
+    P = len(range(first, L, thd_alpha))
     n_mix = int(np.sum(np.arange(first, L, thd_alpha) < 2 * span - 1))
-    hj, crhj, xj = _closed_form_states(seqs, kmat, span, n_mix=n_mix)
-    xval, yval, strand = _minimizer_xy_batch(seqs, kmat, hj, crhj, xj, span, weight)
+    # zero right-padding so every strided base column is a pure slice; the
+    # padded region only feeds columns with in_range == False (masked)
+    seqs_p = jnp.pad(seqs, ((0, 0), (0, span + 8)))
+    xval, yval, strand, kmat = _minimizer_xy_strided(
+        seqs_p, first, P, span, weight, thd_alpha, n_mix)
+    in_range = kmat < (lens[:, None] - span)
     anc, keep, probed = _probe_compact(kmat, lens, xval, yval, strand,
                                        dir_start, hs_lo, hs_hi, cap, in_range,
                                        m_out)
@@ -353,6 +438,99 @@ def _compact_anchors(anc: jnp.ndarray, keep: jnp.ndarray, m_out: int):
     out = svals[:, :m_out]
     count = jnp.sum(kf, axis=1).astype(jnp.int32)
     return out, count
+
+
+@partial(jax.jit, static_argnames=("span", "weight", "thd_alpha", "cap",
+                                   "m_out"))
+def _seed_superchunk_fused(packed_l: jnp.ndarray, dir_start: jnp.ndarray,
+                           hs_lo: jnp.ndarray, hs_hi: jnp.ndarray,
+                           span: int, weight: int, thd_alpha: int, cap: int,
+                           m_out: int):
+    """One superchunk of the block seeding path. packed_l is the wire
+    format: (SB, pad/4 + 8) uint8 — 2-bit packed bases with the true read
+    length appended as 8 little-endian bytes per row, so the whole
+    superchunk moves in ONE h2d. Output fuses (anchors, count, probed)
+    into a single (SB, m_out + 1) int64 array (last column =
+    count | probed << 32) for ONE d2h.
+
+    Rationale (measured on the tunneled single-chip setup): every
+    host<->device transfer pays ~25 ms latency regardless of payload size,
+    so per superchunk there must be exactly one transfer each way — the
+    separate (packed, lens) uploads and (anchors, count, probed) fetches
+    made the seed stage 3x slower than the same bytes fused."""
+    pk = packed_l[:, :-8]
+    lb = packed_l[:, -8:].astype(jnp.int64)
+    shift = jnp.arange(8, dtype=jnp.int64) * 8
+    ln = jnp.sum(lb << shift[None, :], axis=1)
+    svals, count, probed = batch_seed_anchors_compact(
+        pk, ln, dir_start, hs_lo, hs_hi, span=span, weight=weight,
+        thd_alpha=thd_alpha, cap=cap, m_out=m_out, packed=True)
+    tail = (count.astype(jnp.int64)
+            | (probed.astype(jnp.int64) << jnp.int64(32)))
+    return jnp.concatenate([svals, tail[:, None]], axis=1)
+
+
+def pack_superchunk(reads: list, pad_len: int, superchunk: int) -> np.ndarray:
+    """Host-side wire pack of <= superchunk reads: (SB, pad/4 + 8) uint8,
+    2-bit packed bases + 8 length bytes per row (see
+    _seed_superchunk_fused). Returns None when any read contains an N base
+    (callers fall back to the per-chunk scan kernel)."""
+    seqs = np.zeros((superchunk, pad_len), dtype=np.uint8)
+    lens = np.zeros((superchunk,), dtype=np.int64)
+    for i, r in enumerate(reads):
+        m = min(len(r), pad_len)
+        seqs[i, :m] = r[:m]
+        lens[i] = m
+    if (seqs == 4).any():
+        return None
+    s4 = seqs.reshape(superchunk, -1, 4).astype(np.uint16)
+    packed = (s4[:, :, 0] | (s4[:, :, 1] << 2) | (s4[:, :, 2] << 4)
+              | (s4[:, :, 3] << 6)).astype(np.uint8)
+    return np.concatenate(
+        [packed, lens.view(np.uint8).reshape(superchunk, 8)], axis=1)
+
+
+def seed_block_dispatch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
+                        thd_alpha: int = THD_ALPHA, m_out: int = 128,
+                        superchunk: int = 1024):
+    """Block-level async seeding: one h2d + one fused kernel + one async
+    d2h per `superchunk` reads, everything enqueued before any sync.
+    Returns a list of (n_valid, fused_device_array) handles, or None if
+    the block has N bases (caller uses the per-chunk scan path). Collect
+    with seed_block_collect."""
+    n = len(reads)
+    wires = []
+    for c0 in range(0, n, superchunk):
+        w = pack_superchunk(reads[c0: c0 + superchunk], pad_len, superchunk)
+        if w is None:
+            return None
+        wires.append((min(superchunk, n - c0), w))
+    out = []
+    for n_valid, w in wires:
+        fused = _seed_superchunk_fused(
+            jnp.asarray(w), dindex_dev.dir_start, dindex_dev.hs_lo,
+            dindex_dev.hs_hi, SPAN, WEIGHT, thd_alpha, dindex_dev.cap, m_out)
+        fused.copy_to_host_async()
+        out.append((n_valid, fused))
+    return out
+
+
+def seed_block_collect(dispatched, m_out: int = 128) -> list:
+    """Sync phase of seed_block_dispatch: per-read uint64 anchor arrays in
+    the C++ emission order (numpy, so worker-pool pickling stays cheap);
+    None for overflowing reads (probed > m_out -> host fallback seeding)."""
+    res: list = []
+    for n_valid, fused in dispatched:
+        arr = np.asarray(fused)
+        anc = arr[:, :-1].view(np.uint64)
+        count = (arr[:, -1] & 0xFFFFFFFF).astype(np.int64)
+        probed = (arr[:, -1] >> 32).astype(np.int64)
+        for i in range(n_valid):
+            if probed[i] > m_out:
+                res.append(None)
+            else:
+                res.append(anc[i, : count[i]].copy())
+    return res
 
 
 def seed_anchors_dispatch(reads: list, dindex_dev: DeviceIndex, pad_len: int,

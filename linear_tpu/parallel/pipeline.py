@@ -42,11 +42,14 @@ def _init_worker(mapper):
 
 def _map_chunk(task):
     """Worker: full residual for a CHUNK of reads (lockstep-batched window
-    sweeps across the chunk) -> list of (cords_str, cords_end, sam, bam)."""
+    sweeps across the chunk) -> list of (cords_str, cords_end, sam, bam).
+    With collect_cords False the cords lists come back empty — the Python
+    int lists dominate the result-pickle cost and SAM-only consumers
+    (the bench, CLI without APF) never read them."""
     from ..map.chaining import chain_records_from_dp
     from ..map.pmpfinder import run_lockstep
 
-    reads, rids, seeds, chain_raws, collect_bam = task
+    reads, rids, seeds, chain_raws, collect_bam, collect_cords = task
     m = _WORKER_MAPPER
     # fresh GapParms per chunk: chunk boundaries are fixed by the block
     # splitter, so the output is deterministic regardless of which worker
@@ -58,7 +61,8 @@ def _map_chunk(task):
         out = []
         for read, rid, s in zip(reads, rids, seeds):
             cs, ce, sam, bl = m.native_map_read(read, rid, seeds=s,
-                                                collect_bam=collect_bam)
+                                                collect_bam=collect_bam,
+                                                collect_cords=collect_cords)
             out.append((cs, ce, sam, bl))
         return out
     gens = []
@@ -76,6 +80,8 @@ def _map_chunk(task):
         m.gap_phase(read, rc, cords_str, cords_end, f1)
         sam, bam_lines = m.read_output(read, rid, cords_str, cords_end,
                                        collect_bam=collect_bam)
+        if not collect_cords:
+            cords_str, cords_end = [], []
         out.append((cords_str, cords_end, sam, bam_lines))
     return out
 
@@ -115,50 +121,71 @@ class PipelineMapper:
     def __exit__(self, *exc):
         self.close()
 
-    def run(self, read_path: str, collect_bam: bool = False) -> Iterator[BlockResult]:
-        """Yields per-block results in input order."""
+    def run(self, read_path: str, collect_bam: bool = False,
+            collect_cords: bool = True) -> Iterator[BlockResult]:
+        """Yields per-block results in input order.
+
+        Task boundaries (csize) are fixed by the block size alone, so the
+        emulated -b 1 schedule (fresh GapParms per task, see Mapper
+        .gap_parms) is unchanged by the streaming below; only WHEN a task
+        is handed to the pool changes. With device seeding the feeder
+        dispatches every superchunk's device work up front and emits each
+        task to the worker pool as soon as its seed span has landed — the
+        tunnel transfers overlap the workers' residual compute instead of
+        serializing in front of it."""
         m = self.mapper
         pool = self.pool
-        if True:
-            q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        q: "queue.Queue" = queue.Queue(maxsize=64)
+        END_BLOCK = object()
 
-            def feeder():
-                try:
-                    for block in seqio.read_blocks(read_path):
-                        if m.device == "tpu":
-                            seeds = m._device_seed_block(block)
-                            # the native engine recomputes the chain DP in
-                            # C++ (bit-identical); skip the device precompute
-                            chain_raw = (m._device_chain_block(seeds, raw=True)
-                                         if not m.use_native()
-                                         else [None] * len(block.seqs))
-                        else:
-                            seeds = [None] * len(block.seqs)
-                            chain_raw = [None] * len(block.seqs)
-                        q.put((block, seeds, chain_raw))
-                    q.put(None)
-                except BaseException as e:  # surface in main thread
-                    q.put(e)
+        def feeder():
+            try:
+                for block in seqio.read_blocks(read_path):
+                    n = len(block.seqs)
+                    csize = max(1, -(-n // (4 * self.n_workers)))
+                    spans = [(i, min(i + csize, n)) for i in range(0, n, csize)]
 
-            th = threading.Thread(target=feeder, daemon=True)
-            th.start()
-            pending = []  # [(block, AsyncResult-iterator)]
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                block, seeds, chain_raw = item
-                n = len(block.seqs)
-                csize = max(1, -(-n // (4 * self.n_workers)))
-                tasks = [
-                    (block.seqs[i: i + csize], block.ids[i: i + csize],
-                     seeds[i: i + csize], chain_raw[i: i + csize], collect_bam)
-                    for i in range(0, n, csize)
-                ]
-                results = [r for chunk in pool.map(_map_chunk, tasks)
-                           for r in chunk]
+                    def emit(ti, seeds, chain_raw):
+                        i, j = spans[ti]
+                        q.put((block.seqs[i:j], block.ids[i:j], seeds[i:j],
+                               chain_raw[i:j], collect_bam, collect_cords))
+
+                    if m.device == "tpu" and m.use_native():
+                        ti = 0
+                        for ready, seeds in m._device_seed_stream(block):
+                            while ti < len(spans) and spans[ti][1] <= ready:
+                                emit(ti, seeds, [None] * n)
+                                ti += 1
+                        while ti < len(spans):  # safety: stream is a prefix
+                            emit(ti, seeds, [None] * n)
+                            ti += 1
+                    elif m.device == "tpu":
+                        seeds = m._device_seed_block(block)
+                        chain_raw = m._device_chain_block(seeds, raw=True)
+                        for ti in range(len(spans)):
+                            emit(ti, seeds, chain_raw)
+                    else:
+                        none = [None] * n
+                        for ti in range(len(spans)):
+                            emit(ti, none, none)
+                    q.put((END_BLOCK, block, len(spans)))
+                q.put(None)
+            except BaseException as e:  # surface in main thread
+                q.put(e)
+
+        th = threading.Thread(target=feeder, daemon=True)
+        th.start()
+        pending: List = []  # AsyncResults of the current block, in order
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            if isinstance(item, tuple) and item and item[0] is END_BLOCK:
+                _, block, n_tasks = item
+                results = [r for ar in pending for r in ar.get()]
+                pending = []
                 cs = [r[0] for r in results]
                 ce = [r[1] for r in results]
                 sam = "".join(r[2] for r in results)
@@ -166,4 +193,6 @@ class PipelineMapper:
                 for r in results:
                     bam.extend(r[3])
                 yield BlockResult(block, cs, ce, sam, bam)
-            th.join()
+                continue
+            pending.append(pool.apply_async(_map_chunk, (item,)))
+        th.join()

@@ -53,6 +53,75 @@ def test_device_seeding_matches_host(small_world):
         assert got[i] == host, f"read {i}"
 
 
+def test_block_seeding_matches_host(small_world):
+    """The fused superchunk block path (strided minimizer + single-array
+    wire formats): exact vs the host oracle across superchunk boundaries,
+    short/long reads, and m_out overflow fallback."""
+    rng, genome, idx, dev = small_world
+    reads = []
+    for i in range(11):
+        ln = int(rng.integers(300, 3000))
+        pos = int(rng.integers(0, 30000 - ln))
+        r = _mutate(genome[pos:pos + ln], rng)
+        if i % 2:
+            r = seqio.revcomp(r)
+        reads.append(r)
+    disp = SD.seed_block_dispatch(reads, dev, pad_len=4096, m_out=128,
+                                  superchunk=4)
+    got = SD.seed_block_collect(disp, m_out=128)
+    assert len(got) == len(reads)
+    for i, r in enumerate(reads):
+        host = [int(v) for v in DI.query_anchors(idx, r, 0, len(r), thd_alpha=15)]
+        if got[i] is None:  # probed > m_out: declared fallback is legal
+            continue
+        assert [int(v) for v in got[i]] == host, f"read {i}"
+    # m_out=8 must either overflow (None) or still be exact
+    disp = SD.seed_block_dispatch(reads, dev, pad_len=4096, m_out=8,
+                                  superchunk=4)
+    got8 = SD.seed_block_collect(disp, m_out=8)
+    for i, r in enumerate(reads):
+        host = [int(v) for v in DI.query_anchors(idx, r, 0, len(r), thd_alpha=15)]
+        if got8[i] is not None:
+            assert [int(v) for v in got8[i]] == host, f"read {i} (m_out=8)"
+        else:
+            assert len(host) >= 0  # overflow fallback path
+    # an N-containing block refuses the packed path
+    rn = reads[0].copy()
+    rn[50] = 4
+    assert SD.seed_block_dispatch([rn], dev, pad_len=4096, superchunk=4) is None
+
+
+def test_mapper_seed_block_paths(small_world, tmp_path):
+    """Mapper._device_seed_block: block path (N-free) and per-chunk scan
+    fallback (N bases) both match the host oracle per read."""
+    rng, genome, idx, dev = small_world
+    from linear_tpu.map.mapper import Mapper, MapperConfig
+
+    seqio.write_fasta(str(tmp_path / "g.fa"), ["chrH x"], [genome])
+    m = Mapper([str(tmp_path / "g.fa")], MapperConfig(threads=4), device="tpu")
+    m.index = idx
+    for with_n in (False, True):
+        reads = seqio.SeqSet()
+        for i in range(5):
+            ln = int(rng.integers(150, 2500))  # includes <= THD_MIN_READ_LEN
+            pos = int(rng.integers(0, 30000 - ln))
+            r = _mutate(genome[pos:pos + ln], rng)
+            if with_n and i == 2:
+                r = r.copy()
+                r[10:12] = 4
+            reads.ids.append(f"r{i} t")
+            reads.seqs.append(r)
+        got = m._device_seed_block(reads)
+        for i, r in enumerate(reads.seqs):
+            if len(r) <= 200:
+                assert got[i] is None
+                continue
+            if got[i] is None:
+                continue
+            host = [int(v) for v in DI.query_anchors(idx, r, 0, len(r), thd_alpha=15)]
+            assert [int(v) for v in got[i]] == host, f"read {i} with_n={with_n}"
+
+
 def test_device_chain_dp_matches_host():
     import jax.numpy as jnp
 

@@ -49,3 +49,34 @@ def test_pipeline_matches_serial(world):
     pipe.close()
     assert "".join(pipe_sam) == "".join(serial_sam)
     assert pipe_cs == serial_cs
+
+
+def test_pipeline_device_streaming_matches_serial(world):
+    """device='tpu' pipeline (streaming superchunk seed feeder) must equal
+    the host-device serial output bit for bit; exercises the
+    task-emission-as-seeds-land path with a small superchunk so several
+    superchunks and task spans interleave."""
+    from linear_tpu.parallel.pipeline import PipelineMapper
+
+    g_fa, r_fa = world
+    m0 = Mapper([g_fa], MapperConfig(threads=4))
+    m0.prepare()
+    serial_sam = []
+    for block in seqio.read_blocks(r_fa):
+        _, _, sam = m0.map_block(block)
+        serial_sam.append(sam)
+
+    m = Mapper([g_fa], MapperConfig(threads=4), device="tpu")
+    m.index = m0.index
+    m.f2 = m0.f2
+    old_sc = Mapper.SEED_SUPERCHUNK
+    Mapper.SEED_SUPERCHUNK = 8
+    try:
+        pipe = PipelineMapper(m, n_workers=2)
+        pipe_sam = []
+        for br in pipe.run(r_fa):
+            pipe_sam.append(br.sam)
+        pipe.close()
+    finally:
+        Mapper.SEED_SUPERCHUNK = old_sc
+    assert "".join(pipe_sam) == "".join(serial_sam)
