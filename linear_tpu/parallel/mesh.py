@@ -59,6 +59,18 @@ def make_dp_mesh(devices=None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def gput(arr, sharding):
+    """device_put that also works under multi-process jax.distributed: a
+    NamedSharding over a multi-host mesh is not fully addressable, so the
+    global array is assembled from each process's local shards (every
+    process holds the full numpy array; the callback serves its slice)."""
+    if jax.process_count() > 1:
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: arr[idx])
+    return jax.device_put(arr, sharding)
+
+
 def shard_index_by_xval(index, n_shards: int):
     """Split a host DIndex into n_shards contiguous-xval shards for the
     >HBM-genome axis (SURVEY §2.3 "index sharding"): shard s holds
@@ -133,9 +145,9 @@ def index_sharded_seed_step(mesh: Mesh, seqs, lens,
     )
     rep = NamedSharding(mesh, P())
     shd = NamedSharding(mesh, P(axis, None))
-    return fn(jax.device_put(seqs, rep), jax.device_put(lens, rep),
-              jax.device_put(dir_sh, shd), jax.device_put(hs_lo_sh, shd),
-              jax.device_put(hs_hi_sh, shd), jax.device_put(x_base, shd))
+    return fn(gput(seqs, rep), gput(lens, rep),
+              gput(dir_sh, shd), gput(hs_lo_sh, shd),
+              gput(hs_hi_sh, shd), gput(x_base, shd))
 
 
 def sharded_mapping_step(mesh: Mesh, seqs, lens, dir_start, hs_lo, hs_hi,
@@ -146,34 +158,18 @@ def sharded_mapping_step(mesh: Mesh, seqs, lens, dir_start, hs_lo, hs_hi,
     dp = NamedSharding(mesh, P("dp"))
     dp2 = NamedSharding(mesh, P("dp", None))
     rep = NamedSharding(mesh, P())
-    seqs = jax.device_put(seqs, dp2)
-    lens = jax.device_put(lens, dp)
-    dir_start = jax.device_put(dir_start, rep)
-    hs_lo = jax.device_put(hs_lo, rep)
-    hs_hi = jax.device_put(hs_hi, rep)
+    seqs = gput(seqs, dp2)
+    lens = gput(lens, dp)
+    dir_start = gput(dir_start, rep)
+    hs_lo = gput(hs_lo, rep)
+    hs_hi = gput(hs_hi, rep)
     return mapping_step(seqs, lens, dir_start, hs_lo, hs_hi, cap=cap, n_max=n_max)
 
 
-def init_distributed() -> int:
-    """Multi-host wiring: initialize jax.distributed from the standard env
-    (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID) so a
-    2-host run sees one global mesh (dp over all chips; DCN between hosts,
-    ICI within). No-op single-process when the env is absent. Returns the
-    process index (0 when not distributed).
-
-    Reference analog: none — the reference is single-node OpenMP
-    (SURVEY §2.3); this is the TPU-native replacement for its missing
-    scale-out story."""
-    import os
-
-    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if not addr:
-        return 0
-    n = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    pid = int(os.environ.get("JAX_PROCESS_ID", "0"))
-    jax.distributed.initialize(coordinator_address=addr, num_processes=n,
-                               process_id=pid)
-    return pid
+# init_distributed moved to linear_tpu.parallel.dist (import-light: it must
+# run BEFORE this module's imports initialize the XLA backend); re-exported
+# here for compatibility
+from .dist import init_distributed  # noqa: E402,F401
 
 
 def make_grid_mesh(n_dp: int, n_ix: int, devices=None) -> Mesh:
@@ -234,9 +230,9 @@ def grid_mapping_step(mesh: Mesh, seqs, lens, dir_sh, hs_lo_sh, hs_hi_sh,
     dp2 = NamedSharding(mesh, P("dp", None))
     dp1 = NamedSharding(mesh, P("dp"))
     ix2 = NamedSharding(mesh, P("ix", None))
-    anc, keep = fn(jax.device_put(seqs, dp2), jax.device_put(lens, dp1),
-                   jax.device_put(dir_sh, ix2), jax.device_put(hs_lo_sh, ix2),
-                   jax.device_put(hs_hi_sh, ix2), jax.device_put(x_base, ix2))
+    anc, keep = fn(gput(seqs, dp2), gput(lens, dp1),
+                   gput(dir_sh, ix2), gput(hs_lo_sh, ix2),
+                   gput(hs_hi_sh, ix2), gput(x_base, ix2))
 
     @partial(jax.jit, static_argnames=("n_max",))
     def sort_chain(anc, keep, n_max):
@@ -266,7 +262,7 @@ def sharded_extend_step(mesh: Mesh, packed, lens, hits, n_hits, gf,
     dp1 = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
     return ED.batch_filter_extend_packed(
-        jax.device_put(packed, dp2), jax.device_put(lens, dp1),
-        jax.device_put(hits, dp2), jax.device_put(n_hits, dp1),
-        jax.device_put(gf.cat, rep), jax.device_put(gf.off, rep),
-        jax.device_put(gf.rows, rep), H=H, C=C, R=R, max_iter=max_iter)
+        gput(packed, dp2), gput(lens, dp1),
+        gput(hits, dp2), gput(n_hits, dp1),
+        gput(gf.cat, rep), gput(gf.off, rep),
+        gput(gf.rows, rep), H=H, C=C, R=R, max_iter=max_iter)
