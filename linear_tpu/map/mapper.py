@@ -353,6 +353,14 @@ class Mapper:
         if self.cfg.index_type == 2:
             from ..index import hindex as HI
 
+            if NE.enabled():
+                nat = NE.build_hindex_native(
+                    self.genomes, HI.DEFAULT_SPAN, HI.DEFAULT_STEP,
+                    HI.DEFAULT_BLOCKLIMIT, HI.DEFAULT_ALPHA,
+                    self.cfg.threads)
+                if nat is not None:
+                    self.index = nat
+                    return
             self.index = HI.build_hindex(self.genomes,
                                          threads_emul=self.cfg.threads)
             return

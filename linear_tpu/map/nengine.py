@@ -138,6 +138,48 @@ def build_dindex_native(seqs: List[np.ndarray], span: int, weight: int,
     return dirp, hs
 
 
+def build_hindex_native(seqs: List[np.ndarray], span: int, step: int,
+                        blocklimit: int, alpha: float, threads: int):
+    """HIndex (-i 2) tables via the native builder (le_hibuild.hpp):
+    returns an index.hindex.HIndex, or None if unavailable. Bit-identical
+    to the Python build (tests/test_hindex.py asserts this)."""
+    lib = engine_lib()
+    if lib is None or not enabled():
+        return None
+    if not getattr(lib, "_hb_configured", False):
+        lib.le_build_hindex.restype = C.c_void_p
+        lib.le_build_hindex.argtypes = [
+            C.POINTER(C.c_void_p), C.POINTER(C.c_int64), C.c_int64,
+            C.c_int, C.c_int64, C.c_int64, C.c_double, C.c_int64]
+        lib.le_hindex_sizes.restype = None
+        lib.le_hindex_sizes.argtypes = [C.c_void_p, C.POINTER(C.c_int64)]
+        lib.le_hindex_fetch.restype = None
+        lib.le_hindex_fetch.argtypes = [C.c_void_p] + [C.c_void_p] * 4
+        lib.le_hindex_build_free.restype = None
+        lib.le_hindex_build_free.argtypes = [C.c_void_p]
+        lib._hb_configured = True
+    pinned = [np.ascontiguousarray(s, dtype=np.uint8) for s in seqs]
+    n = len(pinned)
+    gptrs = (C.c_void_p * n)(*[g.ctypes.data for g in pinned])
+    glens = (C.c_int64 * n)(*[len(g) for g in pinned])
+    h = lib.le_build_hindex(gptrs, glens, n, span, step, blocklimit,
+                            alpha, threads)
+    sizes = (C.c_int64 * 3)()
+    lib.le_hindex_sizes(h, sizes)
+    ysa = np.empty(sizes[0], dtype=np.uint64)
+    v1 = np.empty(sizes[1], dtype=np.uint64)
+    v2 = np.empty(sizes[1], dtype=np.int64)
+    mask = np.zeros(1, dtype=np.uint64)
+    lib.le_hindex_fetch(h, ysa.ctypes.data, v1.ctypes.data, v2.ctypes.data,
+                        mask.ctypes.data)
+    lib.le_hindex_build_free(h)
+    from ..index.hindex import HIndex
+
+    return HIndex(span=span, weight=span - 8, ysa=ysa, xs_val1=v1,
+                  xs_val2=v2, xs_mask=int(mask[0]),
+                  empty_dir=int(sizes[2]))
+
+
 def enabled() -> bool:
     if os.environ.get("LINEAR_TPU_ENGINE", "native") == "py":
         return False

@@ -22,6 +22,7 @@
 #include "le_gap2.hpp"
 #include "le_gap3.hpp"
 #include "le_out.hpp"
+#include "le_hibuild.hpp"
 
 #include <map>
 #include <omp.h>
@@ -480,6 +481,63 @@ void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
     lap("hs_fill");
     return b;
 }
+
+// HIndex (-i 2) build: thread-chunked hash emission runs in parallel per
+// (gid, chunk); finalize is serial (sort-dominated). Returns a handle;
+// fetch sizes/arrays then free.
+void* le_build_hindex(const u8** genome_ptrs, const i64* genome_lens,
+                      i64 n_genomes, int span, i64 step, i64 blocklimit,
+                      double alpha, i64 threads) {
+    int weight = span - 8;
+    struct Chunk { i64 gid, start, csize; };
+    std::vector<Chunk> chunks;
+    for (i64 gid = 0; gid < n_genomes; gid++) {
+        i64 total = genome_lens[gid] - span + 1;
+        if (total <= 0) continue;
+        // _thread_chunks (src/index_util.cpp:740-760)
+        i64 size2 = total / threads;
+        i64 rem = total - size2 * threads;
+        for (i64 t = 0; t < threads; t++) {
+            if (t < rem)
+                chunks.push_back({gid, (size2 + 1) * t, size2 + 1});
+            else
+                chunks.push_back({gid, total - size2 * (threads - t), size2});
+        }
+    }
+    std::vector<std::vector<u64>> parts(chunks.size());
+#pragma omp parallel for schedule(dynamic)
+    for (size_t c = 0; c < chunks.size(); c++) {
+        const Chunk& ck = chunks[c];
+        hb_chunk(genome_ptrs[ck.gid], genome_lens[ck.gid], ck.start,
+                 ck.csize, span, weight, step, ck.gid, parts[c]);
+    }
+    std::vector<u64> hs;
+    size_t total = 0;
+    for (auto& p : parts) total += p.size();
+    hs.reserve(total);
+    for (auto& p : parts) hs.insert(hs.end(), p.begin(), p.end());
+    HIndexBuild* b = new HIndexBuild();
+    hb_finalize(hs, weight, blocklimit, alpha, *b);
+    return b;
+}
+
+void le_hindex_sizes(void* bp, i64* out3) {
+    HIndexBuild* b = (HIndexBuild*)bp;
+    out3[0] = (i64)b->ysa.size();
+    out3[1] = (i64)b->v1.size();
+    out3[2] = b->empty_dir;
+}
+
+void le_hindex_fetch(void* bp, u64* ysa_out, u64* v1_out, i64* v2_out,
+                     u64* mask_out) {
+    HIndexBuild* b = (HIndexBuild*)bp;
+    std::memcpy(ysa_out, b->ysa.data(), b->ysa.size() * sizeof(u64));
+    std::memcpy(v1_out, b->v1.data(), b->v1.size() * sizeof(u64));
+    std::memcpy(v2_out, b->v2.data(), b->v2.size() * sizeof(i64));
+    *mask_out = b->mask;
+}
+
+void le_hindex_build_free(void* bp) { delete (HIndexBuild*)bp; }
 
 void le_stage_ns(void* ep, i64* out4) {
     Engine* e = (Engine*)ep;

@@ -108,3 +108,32 @@ def test_query_scalar_matches_vectorized():
     assert np.array_equal(xs, xv)
     assert np.array_equal(ys, yv)
     assert np.array_equal(ss, st)
+
+
+def test_native_hindex_build_matches_python():
+    """le_build_hindex (le_hibuild.hpp) must reproduce the Python build's
+    tables bit for bit — ysa, XString val1/val2, mask, empty_dir — on an
+    N-laced multi-genome world (exercises the N-jump quirk, the abort-last
+    path is covered by the small-genome case)."""
+    from linear_tpu.index import hindex as HI
+    from linear_tpu.map import nengine as NE
+
+    if not NE.enabled():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(13)
+    g1 = rng.integers(0, 4, 40000).astype(np.uint8)
+    g1[5000:5007] = 4  # N run
+    g2 = rng.integers(0, 4, 9000).astype(np.uint8)
+    for seqs in ([g1, g2], [g2[:500]]):
+        py = HI.build_hindex(seqs, threads_emul=16)
+        nat = NE.build_hindex_native(seqs, HI.DEFAULT_SPAN, HI.DEFAULT_STEP,
+                                     HI.DEFAULT_BLOCKLIMIT, HI.DEFAULT_ALPHA,
+                                     16)
+        assert nat is not None
+        assert np.array_equal(py.ysa, nat.ysa)
+        assert np.array_equal(py.xs_val1, nat.xs_val1)
+        assert np.array_equal(py.xs_val2, nat.xs_val2)
+        assert py.xs_mask == nat.xs_mask
+        assert py.empty_dir == nat.empty_dir
