@@ -112,13 +112,38 @@ class Mapper:
         disp = self._device_seed_dispatch(reads)
         return self._device_seed_finish(reads, disp)
 
+    def _ensure_dev_index(self):
+        """Device k-mer tables, created on first use (deliberately AFTER
+        the pipeline forks its workers — a pre-fork TPU client would be
+        inherited by the children). Two paths:
+          - N-free genomes: BUILD the tables on device (ops.devbuild) —
+            the genome ships (MBs) instead of the dense dir table
+            (268 MB for weight 13), which matters on the tunneled link;
+            bit-equal to the host build (tests/test_devbuild.py).
+          - otherwise: upload the host-built tables."""
+        if self._dev_index is not None:
+            return self._dev_index
+        from ..ops import seeding as SD
+
+        if not any((s == 4).any() for s in self.genomes):
+            try:
+                from ..ops import devbuild as DB
+
+                dirp, scord, n_kept = DB.build_dindex_device(
+                    self.genomes, threads_emul=self.cfg.threads)
+                self._dev_index = DB.device_build_to_index(dirp, scord, n_kept)
+                return self._dev_index
+            except Exception:
+                pass
+        self._dev_index = SD.upload_index(self.index)
+        return self._dev_index
+
     def _device_seed_dispatch(self, reads: "seqio.SeqSet"):
         """Async phase: enqueue all device work for a block (one h2d + one
         fused kernel/d2h per superchunk) and return a handle; no sync."""
         from ..ops import seeding as SD
 
-        if self._dev_index is None:
-            self._dev_index = SD.upload_index(self.index)
+        self._ensure_dev_index()
         eligible = [i for i, r in enumerate(reads.seqs)
                     if THD_MIN_READ_LEN < len(r) <= (1 << 17)]
         if not eligible:
@@ -395,8 +420,7 @@ class Mapper:
         from ..ops import chain_dp as CDP
         from ..ops import seeding as SD
 
-        if self._dev_index is None:
-            self._dev_index = SD.upload_index(self.index)
+        self._ensure_dev_index()
         reads = [np.zeros(pad, dtype=np.uint8)] * self.SEED_SUPERCHUNK
         disp = SD.seed_block_dispatch(reads, self._dev_index, pad_len=pad,
                                       m_out=self.SEED_M_OUT,

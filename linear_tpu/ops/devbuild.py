@@ -160,6 +160,21 @@ def build_dindex_device(
     return dirp, scord, int(n_kept)
 
 
+def device_build_to_index(dirp, scord, n_kept: int) -> "SD.DeviceIndex":
+    """Wrap the in-HBM build outputs as a seeding.DeviceIndex WITHOUT any
+    host round trip of the tables (the 268 MB dir never crosses the
+    tunnel): dir stays as built, hs splits into (lo, hi) uint32 on device.
+    Only the bucket cap (one scalar) is fetched."""
+    hs = scord[:n_kept].astype(jnp.uint64)
+    cap = int(jnp.max(dirp[1:] - dirp[:-1])) if n_kept else 1
+    return SD.DeviceIndex(
+        dir_start=dirp.astype(jnp.int32),
+        hs_lo=(hs & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+        hs_hi=(hs >> jnp.uint64(32)).astype(jnp.uint32),
+        cap=SD.bucket_cap(cap),
+    )
+
+
 def build_dindex_device_host(seqs, **kw) -> DIndex:
     """Device build fetched back as a host DIndex (for equality tests and
     as a drop-in for the host builder)."""
