@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("-c", "--apx_c_flag", type=int, default=1)
     f.add_argument("-f", "--feature_type", type=int, default=2)
     f.add_argument("-r", "--reform_ccs_cigar_flag", type=int, default=0)
+    f.add_argument("--save-index", default="",
+                   help="serialize the built index to PATH(.npz) and continue")
+    f.add_argument("--load-index", default="",
+                   help="load a previously saved index instead of building "
+                        "(must match -i/-t and the genome files)")
     f.add_argument("--device", choices=["host", "tpu"], default="host",
                    help="host oracle or TPU device pipeline")
     return p
@@ -99,7 +104,19 @@ def run_filter(args) -> int:
         return 1
     print(f"--Read genomes  {len(mapper.genomes)} sequences "
           f"{sum(mapper.genome_lens) >> 20} mbases", file=sys.stderr)
-    mapper.prepare()
+    if args.load_index:
+        from .index.serial import load_index
+
+        mapper.create_features()
+        mapper.index = load_index(args.load_index)
+        print(f"--Index loaded  {args.load_index}", file=sys.stderr)
+    else:
+        mapper.prepare()
+    if args.save_index:
+        from .index.serial import save_index
+
+        save_index(args.save_index, mapper.index)
+        print(f"--Index saved   {args.save_index}", file=sys.stderr)
     print(f"--Index created Elapsed time[s] {time.time() - t0:.2f}", file=sys.stderr)
 
     # -b 1 (default): pipelined fetch/compute/print with a worker pool —
