@@ -67,16 +67,26 @@ def make_data():
     from linear_tpu.utils import seqio
 
     os.makedirs(CACHE, exist_ok=True)
-    g_fa = os.path.join(CACHE, "bench_g.fa")
-    r_fa = os.path.join(CACHE, f"bench_r{N_READS}.fa")
-    w_fa = os.path.join(CACHE, f"bench_w{N_WARM}.fa")
+    g_fa = os.path.join(CACHE, "bench_gen_g.fa")
+    r_fa = os.path.join(CACHE, f"bench_gen_r{N_READS}.fa")
+    w_fa = os.path.join(CACHE, f"bench_gen_w{N_WARM}.fa")
     if not (os.path.exists(g_fa) and os.path.exists(r_fa) and os.path.exists(w_fa)):
+        from linear_tpu.utils.simdata import make_genomic_genome
+
         rng = np.random.default_rng(SEED)
-        genome = rng.integers(0, 4, GENOME_LEN).astype(np.uint8)
+        # realistic bacterial repeat structure (BASELINE config 1 stand-in:
+        # real E. coli is unfetchable in the zero-egress environment):
+        # rDNA arrays, IS families, REP palindromes, assembly-gap N runs
+        genome = make_genomic_genome(rng, GENOME_LEN)
         reads = []
         for i in range(N_READS + N_WARM):
-            pos = int(rng.integers(0, GENOME_LEN - READ_LEN))
-            r = mutate(genome[pos: pos + READ_LEN], rng)
+            while True:
+                pos = int(rng.integers(0, GENOME_LEN - READ_LEN))
+                seg = genome[pos: pos + READ_LEN]
+                # resample reads falling mostly inside an assembly N-gap
+                if (seg == 4).sum() < READ_LEN // 2:
+                    break
+            r = mutate(seg, rng)
             if i % 3 == 2:
                 r = seqio.revcomp(r)
             reads.append(r)
@@ -92,7 +102,7 @@ def measure_baseline(g_fa: str, r_fa: str) -> float:
     """reads/s of the reference binary, measured FRESH each bench run (the
     shared host's throughput varies run to run — a cached number from a
     quieter hour would skew vs_baseline in either direction). Best of 2."""
-    cache_f = os.path.join(CACHE, f"baseline_v2_{N_READS}.json")
+    cache_f = os.path.join(CACHE, f"baseline_v3_{N_READS}.json")
     ref_bin = os.path.join(ROOT, ".ref_build", "linear")
     if not os.path.exists(ref_bin):
         if os.path.exists(cache_f):

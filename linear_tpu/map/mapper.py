@@ -153,18 +153,7 @@ class Mapper:
         block = SD.seed_block_dispatch(
             [reads.seqs[i] for i in eligible], self._dev_index, pad_len=pad,
             m_out=self.SEED_M_OUT, superchunk=self.SEED_SUPERCHUNK)
-        if block is not None:
-            return ("block", eligible, block)
-        # N-containing block: exact scan kernel per DEV_BATCH chunk
-        pending = []
-        for c0 in range(0, len(eligible), self.DEV_BATCH):
-            chunk = eligible[c0: c0 + self.DEV_BATCH]
-            batch = [reads.seqs[i] for i in chunk]
-            if len(batch) < self.DEV_BATCH:
-                batch = batch + [np.zeros(1, dtype=np.uint8)] * (self.DEV_BATCH - len(batch))
-            pending.append((chunk, SD.seed_anchors_dispatch(
-                batch, self._dev_index, pad_len=pad, m_out=256)))
-        return ("chunks", eligible, pending)
+        return ("block", eligible, block)
 
     def _device_seed_finish(self, reads: "seqio.SeqSet", disp):
         """Sync phase of _device_seed_dispatch: per-read anchor lists."""
@@ -174,15 +163,9 @@ class Mapper:
         out: List = [None] * len(reads.seqs)
         if kind == "none":
             return out
-        if kind == "block":
-            anchors = SD.seed_block_collect(payload, m_out=self.SEED_M_OUT)
-            for i, a in zip(eligible, anchors):
-                out[i] = a
-            return out
-        for chunk, d in payload:
-            anchors = SD.seed_anchors_collect(d, len(chunk))
-            for i, a in zip(chunk, anchors):
-                out[i] = a
+        anchors = SD.seed_block_collect(payload, m_out=self.SEED_M_OUT)
+        for i, a in zip(eligible, anchors):
+            out[i] = a
         return out
 
     def _device_seed_stream(self, reads: "seqio.SeqSet"):
@@ -198,15 +181,12 @@ class Mapper:
         n = len(reads.seqs)
         out: List = [None] * n
         if kind != "block":
-            # none / N-containing chunks path: no useful intermediate
-            # granularity — collect everything, single yield
-            out = self._device_seed_finish(reads, disp)
             yield n, out
             return
         pos = 0
-        for n_valid, fused in payload:
-            anchors = SD.seed_block_collect([(n_valid, fused)],
-                                            m_out=self.SEED_M_OUT)
+        for sc in payload:
+            n_valid = sc[0]
+            anchors = SD.seed_block_collect([sc], m_out=self.SEED_M_OUT)
             for a, i in zip(anchors, eligible[pos: pos + n_valid]):
                 out[i] = a
             pos += n_valid

@@ -470,24 +470,29 @@ def _seed_superchunk_fused(packed_l: jnp.ndarray, dir_start: jnp.ndarray,
     return jnp.concatenate([svals, tail[:, None]], axis=1)
 
 
-def pack_superchunk(reads: list, pad_len: int, superchunk: int) -> np.ndarray:
+def pack_superchunk(reads: list, pad_len: int, superchunk: int):
     """Host-side wire pack of <= superchunk reads: (SB, pad/4 + 8) uint8,
     2-bit packed bases + 8 length bytes per row (see
-    _seed_superchunk_fused). Returns None when any read contains an N base
-    (callers fall back to the per-chunk scan kernel)."""
+    _seed_superchunk_fused). Reads containing N bases are zeroed on the
+    wire and flagged in the returned n_mask — the device result for those
+    rows is discarded and the caller host-seeds them (the closed-form
+    kernel is exact only for N-free reads). Returns (wire, n_mask)."""
     seqs = np.zeros((superchunk, pad_len), dtype=np.uint8)
     lens = np.zeros((superchunk,), dtype=np.int64)
+    n_mask = np.zeros((superchunk,), dtype=bool)
     for i, r in enumerate(reads):
         m = min(len(r), pad_len)
         seqs[i, :m] = r[:m]
         lens[i] = m
-    if (seqs == 4).any():
-        return None
+        if (r[:m] == 4).any():
+            n_mask[i] = True
+            seqs[i, :m] = 0
     s4 = seqs.reshape(superchunk, -1, 4).astype(np.uint16)
     packed = (s4[:, :, 0] | (s4[:, :, 1] << 2) | (s4[:, :, 2] << 4)
               | (s4[:, :, 3] << 6)).astype(np.uint8)
-    return np.concatenate(
+    wire = np.concatenate(
         [packed, lens.view(np.uint8).reshape(superchunk, 8)], axis=1)
+    return wire, n_mask
 
 
 def seed_block_dispatch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
@@ -495,38 +500,39 @@ def seed_block_dispatch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
                         superchunk: int = 1024):
     """Block-level async seeding: one h2d + one fused kernel + one async
     d2h per `superchunk` reads, everything enqueued before any sync.
-    Returns a list of (n_valid, fused_device_array) handles, or None if
-    the block has N bases (caller uses the per-chunk scan path). Collect
-    with seed_block_collect."""
+    N-containing reads ride the wire zeroed and come back as None from
+    seed_block_collect (per-READ host fallback — one such read must not
+    drag its whole superchunk onto a slower path). Collect with
+    seed_block_collect."""
     n = len(reads)
     wires = []
     for c0 in range(0, n, superchunk):
-        w = pack_superchunk(reads[c0: c0 + superchunk], pad_len, superchunk)
-        if w is None:
-            return None
-        wires.append((min(superchunk, n - c0), w))
+        w, n_mask = pack_superchunk(reads[c0: c0 + superchunk], pad_len,
+                                    superchunk)
+        wires.append((min(superchunk, n - c0), w, n_mask))
     out = []
-    for n_valid, w in wires:
+    for n_valid, w, n_mask in wires:
         fused = _seed_superchunk_fused(
             jnp.asarray(w), dindex_dev.dir_start, dindex_dev.hs_lo,
             dindex_dev.hs_hi, SPAN, WEIGHT, thd_alpha, dindex_dev.cap, m_out)
         fused.copy_to_host_async()
-        out.append((n_valid, fused))
+        out.append((n_valid, fused, n_mask))
     return out
 
 
 def seed_block_collect(dispatched, m_out: int = 128) -> list:
     """Sync phase of seed_block_dispatch: per-read uint64 anchor arrays in
     the C++ emission order (numpy, so worker-pool pickling stays cheap);
-    None for overflowing reads (probed > m_out -> host fallback seeding)."""
+    None for N-containing reads and for overflowing reads
+    (probed > m_out) — both host-fallback seeded by the caller."""
     res: list = []
-    for n_valid, fused in dispatched:
+    for n_valid, fused, n_mask in dispatched:
         arr = np.asarray(fused)
         anc = arr[:, :-1].view(np.uint64)
         count = (arr[:, -1] & 0xFFFFFFFF).astype(np.int64)
         probed = (arr[:, -1] >> 32).astype(np.int64)
         for i in range(n_valid):
-            if probed[i] > m_out:
+            if n_mask[i] or probed[i] > m_out:
                 res.append(None)
             else:
                 res.append(anc[i, : count[i]].copy())

@@ -18,6 +18,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from linear_tpu.utils import seqio  # noqa: E402
+from linear_tpu.utils.simdata import make_genomic_genome  # noqa: E402
 
 REF_BIN = os.path.join(os.path.dirname(__file__), "..", ".ref_build", "linear")
 
@@ -182,13 +183,15 @@ def main():
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--genome-len", type=int, default=200000)
     ap.add_argument("--n-genomes", type=int, default=2)
-    ap.add_argument("--corpus", choices=["uniform", "repeat"], default="uniform")
+    ap.add_argument("--corpus", choices=["uniform", "repeat", "genomic"], default="uniform")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
     if args.corpus == "repeat":
         genomes = [make_repeat_genome(rng, args.genome_len) for _ in range(args.n_genomes)]
+    elif args.corpus == "genomic":
+        genomes = [make_genomic_genome(rng, args.genome_len) for _ in range(args.n_genomes)]
     else:
         genomes = [rng.integers(0, 4, args.genome_len).astype(np.uint8) for _ in range(args.n_genomes)]
     tmp = tempfile.mkdtemp(prefix="lineardiff_")

@@ -85,10 +85,17 @@ def test_block_seeding_matches_host(small_world):
             assert [int(v) for v in got8[i]] == host, f"read {i} (m_out=8)"
         else:
             assert len(host) >= 0  # overflow fallback path
-    # an N-containing block refuses the packed path
+    # N-containing reads fall back per-read (None), without dragging the
+    # rest of their superchunk off the device path
     rn = reads[0].copy()
     rn[50] = 4
-    assert SD.seed_block_dispatch([rn], dev, pad_len=4096, superchunk=4) is None
+    disp = SD.seed_block_dispatch([rn, reads[1]], dev, pad_len=4096,
+                                  superchunk=4)
+    gotn = SD.seed_block_collect(disp, m_out=128)
+    assert gotn[0] is None
+    host1 = [int(v) for v in DI.query_anchors(idx, reads[1], 0, len(reads[1]),
+                                              thd_alpha=15)]
+    assert gotn[1] is not None and [int(v) for v in gotn[1]] == host1
 
 
 def test_mapper_seed_block_paths(small_world, tmp_path):

