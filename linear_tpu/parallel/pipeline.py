@@ -95,6 +95,75 @@ class BlockResult:
     bam_lines: List
 
 
+class PipeCounters:
+    """Live per-stage counters — the analog of the reference's pipeline
+    dashboard (P_Tasks::printRunningInfos, src/parallel_io.cpp:69-97):
+    reads fetched (stage F), seeds ready (device feeder), residuals
+    computed (stage C) and blocks emitted (stage P), each with a running
+    rate. Rendered on stderr by a monitor thread when enabled
+    (LINEAR_TPU_DASH=1 forces on, =0 forces off; default: stderr isatty).
+    Counter updates are plain int += under the GIL (single writer per
+    field)."""
+
+    def __init__(self, enabled: Optional[bool] = None, interval: float = 0.5):
+        import sys
+        import time
+
+        if enabled is None:
+            env = os.environ.get("LINEAR_TPU_DASH")
+            if env is not None:
+                enabled = env != "0"
+            else:
+                enabled = sys.stderr.isatty()
+        self.enabled = enabled
+        self.interval = interval
+        self.t0 = time.time()
+        self.fetched = 0    # reads read from disk
+        self.seeded = 0     # reads whose device seeds landed
+        self.computed = 0   # reads through the worker residual
+        self.emitted = 0    # reads drained in order
+        self._stop = False
+        self._th = None
+        self._last_lines = 0
+
+    def start(self):
+        if not self.enabled:
+            return self
+        self._th = threading.Thread(target=self._loop, daemon=True)
+        self._th.start()
+        return self
+
+    def stop(self):
+        self._stop = True
+        if self._th is not None:
+            self._th.join()
+            self._render(final=True)
+
+    def _loop(self):
+        import time
+
+        while not self._stop:
+            self._render()
+            time.sleep(self.interval)
+
+    def _render(self, final: bool = False):
+        import sys
+        import time
+
+        el = max(time.time() - self.t0, 1e-9)
+        up = f"\x1b[{self._last_lines}A" if self._last_lines else ""
+        rows = [("I/O::in", self.fetched), ("Seeded", self.seeded),
+                ("Compute", self.computed), ("Processed", self.emitted)]
+        out = up + "".join(
+            f"\x1b[2K  {name}:\t{cnt}\ttime:{el:.2f}[s]\t"
+            f"speed:{cnt / el:.2f}[reads/s]\n" for name, cnt in rows)
+        sys.stderr.write(out)
+        sys.stderr.flush()
+        self._last_lines = len(rows)
+        if final:
+            self._last_lines = 0
+
+
 class PipelineMapper:
     """Drives Mapper over one read file with the 3-stage pipeline."""
 
@@ -137,11 +206,13 @@ class PipelineMapper:
         pool = self.pool
         q: "queue.Queue" = queue.Queue(maxsize=64)
         END_BLOCK = object()
+        c = PipeCounters().start()
 
         def feeder():
             try:
                 for block in seqio.read_blocks(read_path):
                     n = len(block.seqs)
+                    c.fetched += n
                     csize = max(1, -(-n // (4 * self.n_workers)))
                     spans = [(i, min(i + csize, n)) for i in range(0, n, csize)]
 
@@ -153,6 +224,7 @@ class PipelineMapper:
                     if m.device == "tpu" and m.use_native():
                         ti = 0
                         for ready, seeds in m._device_seed_stream(block):
+                            c.seeded = c.fetched - n + ready
                             while ti < len(spans) and spans[ti][1] <= ready:
                                 emit(ti, seeds, [None] * n)
                                 ti += 1
@@ -175,6 +247,13 @@ class PipelineMapper:
 
         th = threading.Thread(target=feeder, daemon=True)
         th.start()
+        try:
+            yield from self._drain(q, pool, END_BLOCK, c)
+        finally:
+            c.stop()
+        th.join()
+
+    def _drain(self, q, pool, END_BLOCK, c):
         pending: List = []  # AsyncResults of the current block, in order
         while True:
             item = q.get()
@@ -192,7 +271,11 @@ class PipelineMapper:
                 bam: List = []
                 for r in results:
                     bam.extend(r[3])
+                c.emitted += len(block.seqs)
                 yield BlockResult(block, cs, ce, sam, bam)
                 continue
-            pending.append(pool.apply_async(_map_chunk, (item,)))
-        th.join()
+            n_task_reads = len(item[0])
+            pending.append(pool.apply_async(
+                _map_chunk, (item,),
+                callback=lambda res, k=n_task_reads: setattr(
+                    c, "computed", c.computed + k)))
