@@ -202,13 +202,15 @@ static inline void query_anchors(const DIndexView& ix, const u8* read,
                 ss.push_back({st.xval, st.yval, j, st.strand});
             }
             // pass 2: bucket spans (dir lines are warm), prefetch hs
-            // entries one sample ahead, then emit
+            // entries one sample ahead, then emit. Repeat-family buckets
+            // run to thd_omit_block (400) entries = ~50 cache lines, so
+            // prefetch strides through the whole span, not just its head.
             size_t m = ss.size();
             std::vector<std::pair<i32, i32>> spans_(m);
             for (size_t t = 0; t < m; t++) {
                 spans_[t] = {ix.dir[ss[t].xval], ix.dir[ss[t].xval + 1]};
-                if (spans_[t].second > spans_[t].first)
-                    __builtin_prefetch(&ix.hs[spans_[t].first], 0, 1);
+                for (i32 e = spans_[t].first; e < spans_[t].second; e += 8)
+                    __builtin_prefetch(&ix.hs[e], 0, 1);
             }
             for (size_t t = 0; t < m; t++) {
                 st.xval = ss[t].xval;
@@ -220,11 +222,16 @@ static inline void query_anchors(const DIndexView& ix, const u8* read,
             return;
         }
     }
+    // rolling path (N reads / sub-range re-apx): same two-pass prefetched
+    // probe — the roll fills the sample list, then dir/hs lines stream in
+    // with memory-level parallelism instead of one DRAM stall per sample
     HashStream st(span, ix.weight);
     if (st.init(read, read_len, 0) < 0) return;
     u64 xpre = 0;
     i64 dt = 0;
     i64 j_end = read_end - span;
+    struct RSample { u64 xval, yval; i64 j; int strand; };
+    std::vector<RSample> rs;
     for (i64 j = read_str + span; j < j_end; j++) {
         st.nexth(read, j);
         if (++dt < thd_alpha) continue;
@@ -232,7 +239,22 @@ static inline void query_anchors(const DIndexView& ix, const u8* read,
         st.nextx(read, read_len, j);
         if (st.xval == xpre) continue;
         xpre = st.xval;
-        emit_bucket(ix, st, j, read_len, anchors);
+        __builtin_prefetch(&ix.dir[st.xval], 0, 1);
+        rs.push_back({st.xval, st.yval, j, st.strand});
+    }
+    size_t m = rs.size();
+    std::vector<std::pair<i32, i32>> spans_(m);
+    for (size_t t = 0; t < m; t++) {
+        spans_[t] = {ix.dir[rs[t].xval], ix.dir[rs[t].xval + 1]};
+        if (spans_[t].second > spans_[t].first)
+            __builtin_prefetch(&ix.hs[spans_[t].first], 0, 1);
+    }
+    for (size_t t = 0; t < m; t++) {
+        st.xval = rs[t].xval;
+        st.yval = rs[t].yval;
+        st.strand = rs[t].strand;
+        emit_bucket2(ix, st, spans_[t].first, spans_[t].second,
+                     rs[t].j, read_len, anchors);
     }
 }
 

@@ -3,6 +3,7 @@
 // :883-1178, anchor filters :1979-2183, alg-1 listing :2185-2313,
 // block machinery :1484-2446, chainAnchorsHits :2448).
 #pragma once
+#include <omp.h>
 #include "le_chain.hpp"
 #include "le_feats.hpp"
 #include "le_hash.hpp"
@@ -675,6 +676,12 @@ struct ApxContext {
 };
 
 // mnMapReadList (src/pmpfinder.cpp:2560), DIndex path
+// per-process apx sub-phase wall accumulators (ns): 0 seed, 1 chain
+// (filter+sort+DP+block chain), 2 extension (path_dst). Read+reset via
+// le_apx_stage_ns (lt_engine.cpp); the engine is single-threaded per
+// worker process so plain statics are safe.
+extern i64 g_apx_ns[3];
+
 static inline void mn_map_read_list(const ApxContext& cx_, std::vector<u64>& anchors,
                                     std::vector<u64>& hits,
                                     std::vector<i64>& hits_score, u64 map_str,
@@ -691,8 +698,10 @@ static inline void mn_map_read_list(const ApxContext& cx_, std::vector<u64>& anc
                         read_end, pm.thd_alpha, (u64)cxid(map_str),
                         (u64)cxid(map_end), anchors);
     } else {
+        double t0 = omp_get_wtime();
         query_anchors(*cx_.index, cx_.read, cx_.read_len, read_str, read_end,
                       pm.thd_alpha, anchors);
+        g_apx_ns[0] += (i64)((omp_get_wtime() - t0) * 1e9);
     }
     if (alg_type == 1) {
         std::vector<u64> alist;
@@ -700,7 +709,9 @@ static inline void mn_map_read_list(const ApxContext& cx_, std::vector<u64>& anc
         get_d_anchor_list(anchors, read_str, read_end, span_, alist);
         get_d_hit_list(hits, alist, anchors, pm);
     } else if (alg_type == 2) {
+        double t0 = omp_get_wtime();
         get_anchor_hits_chains(anchors, hits, hits_score, cx_.read_len, pm);
+        g_apx_ns[1] += (i64)((omp_get_wtime() - t0) * 1e9);
     }
 }
 
@@ -719,8 +730,10 @@ static inline void apx_map_(const ApxContext& cx_, std::vector<u64>& hits,
     for (i64 i = 1; i < (i64)hits.size(); i++)
         if (is_end(hits[i])) cords_info.push_back(0);
     for (i64 i = 0; i < (i64)cords_info.size(); i++) cords_info[i] = 100 - i;
+    double t0 = omp_get_wtime();
     path_dst(hits, cx_.f1, cx_.f2, cords, read_str, read_end, cx_.read_len,
              alg_type);
+    g_apx_ns[2] += (i64)((omp_get_wtime() - t0) * 1e9);
 }
 
 // Chain-mode apx tail for the DEVICE-EXTENDED path (apxMap

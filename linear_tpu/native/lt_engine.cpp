@@ -31,6 +31,8 @@
 
 using namespace le;
 
+namespace le { i64 g_apx_ns[3] = {0, 0, 0}; }
+
 namespace {
 
 const i64 THD_MIN_READ_LEN = 200;  // src/mapper.cpp:430
@@ -542,6 +544,10 @@ void le_hindex_build_free(void* bp) { delete (HIndexBuild*)bp; }
 void le_stage_ns(void* ep, i64* out4) {
     Engine* e = (Engine*)ep;
     for (int k = 0; k < 4; k++) { out4[k] = e->ph_ns[k]; e->ph_ns[k] = 0; }
+}
+
+void le_apx_stage_ns(i64* out3) {
+    for (int k = 0; k < 3; k++) { out3[k] = g_apx_ns[k]; g_apx_ns[k] = 0; }
 }
 
 i64 le_index_hs_len(void* bp) { return (i64)((IndexBuild*)bp)->hs.size(); }
