@@ -128,7 +128,7 @@ def run_filter(args) -> int:
         from .parallel.pipeline import PipelineMapper
 
         pipeline = PipelineMapper(
-            mapper, n_workers=max(1, min(args.thread, os.cpu_count() or 1)))
+            mapper, n_workers=max(1, min(args.thread, (os.cpu_count() or 1) + 1)))
 
     from .out import bam as BAM
     from .out import bamlink as BL
