@@ -56,6 +56,12 @@ def engine_lib():
             lib.le_reset.argtypes = [C.c_void_p]
             lib.le_destroy.restype = None
             lib.le_destroy.argtypes = [C.c_void_p]
+            lib.le_map_block.restype = C.c_int
+            lib.le_map_block.argtypes = [
+                C.c_void_p, C.POINTER(C.c_void_p), C.POINTER(C.c_int64),
+                C.POINTER(C.c_char_p), C.POINTER(C.c_void_p),
+                C.POINTER(C.c_int64), C.c_int64, C.c_int,
+                C.POINTER(C.c_char_p), C.POINTER(C.c_int64)]
             lib.le_map_read.restype = C.c_int
             lib.le_map_read.argtypes = [
                 C.c_void_p,
@@ -273,6 +279,33 @@ class NativeEngine:
             ce = np.zeros(0, dtype=np.uint64)
         sam = C.string_at(sam_p, sam_n.value).decode() if sam_n.value else ""
         return cs, ce, sam
+
+    def map_block(self, reads, rids, seeds_list=None, tid: int = 0) -> str:
+        """Map a chunk of reads with ONE ctypes crossing; returns the
+        concatenated SAM text (bit-identical to per-read map_read calls
+        in order). Use when neither cords nor BAM lines are needed."""
+        n = len(reads)
+        pinned = [np.ascontiguousarray(r, dtype=np.uint8) for r in reads]
+        rptrs = (C.c_void_p * n)(*[r.ctypes.data for r in pinned])
+        rlens = (C.c_int64 * n)(*[len(r) for r in pinned])
+        rid_b = [r.encode() for r in rids]
+        ridp = (C.c_char_p * n)(*rid_b)
+        seeds_pinned = []
+        sptrs = (C.c_void_p * n)()
+        scnts = (C.c_int64 * n)()
+        for i in range(n):
+            sd = seeds_list[i] if seeds_list is not None else None
+            if sd is None:
+                sptrs[i], scnts[i] = None, -1
+            else:
+                sd = np.ascontiguousarray(sd, dtype=np.uint64)
+                seeds_pinned.append(sd)
+                sptrs[i], scnts[i] = sd.ctypes.data, len(sd)
+        sam_p = C.c_char_p()
+        sam_n = C.c_int64()
+        self._lib.le_map_block(self._h, rptrs, rlens, ridp, sptrs, scnts,
+                               n, tid, C.byref(sam_p), C.byref(sam_n))
+        return C.string_at(sam_p, sam_n.value).decode() if sam_n.value else ""
 
     def apx_hits(self, read: np.ndarray, seeds: Optional[np.ndarray] = None
                  ) -> np.ndarray:

@@ -71,6 +71,7 @@ struct Engine {
     std::vector<BamLinkRecord> records;
     std::vector<i64> heads;
     std::vector<std::string> head_gids;
+    std::string block_sam;
 
     // per-phase wall accumulators (ns), reported by le_stage_ns: cheap
     // always-on observability (4 clock reads per mapped read)
@@ -135,14 +136,10 @@ void le_reset(void* ep) {
 
 void le_destroy(void* ep) { delete (Engine*)ep; }
 
-// Map one read. seeds: device-precomputed anchors for the first apx pass
-// (n_seeds < 0 -> host seeding in C++). Returns 0; out pointers are valid
-// until the next le_map_read on this engine.
-int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
-                const u64* seeds, i64 n_seeds, int tid, int do_output,
-                const u64** out_cs, const u64** out_ce, i64* out_n,
-                const char** out_sam, i64* out_sam_len) {
-    Engine* e = (Engine*)ep;
+// Per-read pipeline body shared by le_map_read and le_map_block; results
+// land in the engine buffers (out_cs/out_ce/out_sam).
+static void map_one(Engine* e, const u8* read, i64 read_len, const char* rid,
+                    const u64* seeds, i64 n_seeds, int tid, int do_output) {
     double tp = omp_get_wtime();
     auto phase = [&](int k) {
         double t = omp_get_wtime();
@@ -207,11 +204,43 @@ int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
         sam_lines(e->records, e->heads, e->head_gids, rid, e->out_sam);
         phase(3);
     }
+}
+
+// Map one read. seeds: device-precomputed anchors for the first apx pass
+// (n_seeds < 0 -> host seeding in C++). Returns 0; out pointers are valid
+// until the next le_map_read on this engine.
+int le_map_read(void* ep, const u8* read, i64 read_len, const char* rid,
+                const u64* seeds, i64 n_seeds, int tid, int do_output,
+                const u64** out_cs, const u64** out_ce, i64* out_n,
+                const char** out_sam, i64* out_sam_len) {
+    Engine* e = (Engine*)ep;
+    map_one(e, read, read_len, rid, seeds, n_seeds, tid, do_output);
     *out_cs = e->out_cs.data();
     *out_ce = e->out_ce.data();
     *out_n = (i64)e->out_cs.size();
     *out_sam = e->out_sam.c_str();
     *out_sam_len = (i64)e->out_sam.size();
+    return 0;
+}
+
+// Map a whole chunk with ONE crossing of the ctypes boundary (the per-read
+// Python call + marshalling overhead is ~10-30 us/read on small hosts —
+// comparable to whole pipeline stages). SAM for all reads lands
+// concatenated in one buffer, bit-identical to per-read calls in order.
+int le_map_block(void* ep, const u8** reads, const i64* lens,
+                 const char** rids, const u64** seeds, const i64* n_seeds,
+                 i64 n_reads, int tid, const char** out_sam,
+                 i64* out_sam_len) {
+    Engine* e = (Engine*)ep;
+    e->block_sam.clear();
+    for (i64 r = 0; r < n_reads; r++) {
+        map_one(e, reads[r], lens[r], rids[r],
+                seeds ? seeds[r] : nullptr, n_seeds ? n_seeds[r] : -1,
+                tid, 1);
+        e->block_sam += e->out_sam;
+    }
+    *out_sam = e->block_sam.c_str();
+    *out_sam_len = (i64)e->block_sam.size();
     return 0;
 }
 

@@ -58,6 +58,10 @@ def _map_chunk(task):
     m.reset_gap_parms()
     ne = m.native_engine()
     if ne is not None:
+        if not (collect_bam or collect_cords):
+            # SAM-only: one ctypes crossing for the whole chunk
+            sam = ne.map_block(reads, rids, seeds_list=seeds)
+            return [([], [], sam, [])]
         out = []
         for read, rid, s in zip(reads, rids, seeds):
             cs, ce, sam, bl = m.native_map_read(read, rid, seeds=s,

@@ -80,3 +80,17 @@ def test_pipeline_device_streaming_matches_serial(world):
     finally:
         Mapper.SEED_SUPERCHUNK = old_sc
     assert "".join(pipe_sam) == "".join(serial_sam)
+
+
+def test_pipeline_sam_only_batched_path(world):
+    """collect_cords=False routes chunks through the single-crossing
+    native map_block; SAM must equal the per-read path byte for byte."""
+    from linear_tpu.parallel.pipeline import PipelineMapper
+
+    g_fa, r_fa = world
+    m = Mapper([g_fa], MapperConfig(threads=4))
+    pipe = PipelineMapper(m, n_workers=2)
+    sam_full = "".join(br.sam for br in pipe.run(r_fa))
+    sam_fast = "".join(br.sam for br in pipe.run(r_fa, collect_cords=False))
+    pipe.close()
+    assert sam_fast == sam_full
