@@ -40,6 +40,20 @@ class DIndex:
     weight: int
     dir: np.ndarray  # int64[4^weight + 1] exclusive prefix offsets
     hs: np.ndarray  # uint64[n]
+    # optional non-empty-bucket bitmap (bit x set iff bucket x non-empty):
+    # lets the native query skip the dense dir table for the ~85% of
+    # probes that hit empty buckets (framework addition; no ref analog)
+    nz: "np.ndarray | None" = None
+
+    def ensure_nz(self) -> np.ndarray:
+        if self.nz is None:
+            counts = np.diff(self.dir)
+            nzx = np.flatnonzero(counts).astype(np.int64)
+            bm = np.zeros(((self.dir.shape[0] - 1) + 63) >> 6, dtype=np.uint64)
+            np.bitwise_or.at(bm, nzx >> 6,
+                             np.uint64(1) << (nzx & 63).astype(np.uint64))
+            self.nz = bm
+        return self.nz
 
     @property
     def full_size(self) -> int:

@@ -375,10 +375,10 @@ class Mapper:
                 DI.DEFAULT_MIN_STEP, DI.DEFAULT_MAX_STEP,
                 DI.DEFAULT_OMIT_BLOCK, self.cfg.threads)
             if nat is not None:
-                dirp, hs = nat
+                dirp, hs, nz = nat
                 self.index = DI.DIndex(span=DI.DEFAULT_SPAN,
                                        weight=DI.DEFAULT_WEIGHT,
-                                       dir=dirp, hs=hs)
+                                       dir=dirp, hs=hs, nz=nz)
                 return
         self.index = DI.build_dindex(self.genomes, threads_emul=self.cfg.threads)
 

@@ -28,6 +28,16 @@ def engine_lib():
         _LIB_TRIED = True
         lib = load("lt_engine")
         if lib is not None:
+            lib.le_create2.restype = C.c_void_p
+            lib.le_create2.argtypes = [
+                C.c_int64,
+                C.POINTER(C.c_void_p), C.POINTER(C.c_int64),
+                C.POINTER(C.c_void_p), C.POINTER(C.c_int64),
+                C.c_void_p, C.c_void_p, C.c_void_p,
+                C.c_int, C.c_int,
+                C.c_int64, C.c_int64, C.c_int64,
+                C.c_int, C.c_int, C.c_int, C.c_int,
+                C.c_double, C.POINTER(C.c_char_p)]
             lib.le_create.restype = C.c_void_p
             lib.le_create.argtypes = [
                 C.c_int64,                      # n_genomes
@@ -101,6 +111,10 @@ def engine_lib():
             lib.le_index_hs_len.argtypes = [C.c_void_p]
             lib.le_index_fetch_hs.restype = None
             lib.le_index_fetch_hs.argtypes = [C.c_void_p, C.c_void_p]
+            lib.le_index_nz_len.restype = C.c_int64
+            lib.le_index_nz_len.argtypes = [C.c_void_p]
+            lib.le_index_fetch_nz.restype = None
+            lib.le_index_fetch_nz.argtypes = [C.c_void_p, C.c_void_p]
             lib.le_index_free.restype = None
             lib.le_index_free.argtypes = [C.c_void_p]
         _LIB = lib
@@ -140,8 +154,11 @@ def build_dindex_native(seqs: List[np.ndarray], span: int, weight: int,
     n_hs = lib.le_index_hs_len(h)
     hs = np.empty(n_hs, dtype=np.uint64)
     lib.le_index_fetch_hs(h, hs.ctypes.data)
+    n_nz = lib.le_index_nz_len(h)
+    nz = np.empty(n_nz, dtype=np.uint64)
+    lib.le_index_fetch_nz(h, nz.ctypes.data)
     lib.le_index_free(h)
-    return dirp, hs
+    return dirp, hs, nz
 
 
 def build_hindex_native(seqs: List[np.ndarray], span: int, step: int,
@@ -215,15 +232,20 @@ class NativeEngine:
         else:
             self._dir = np.ascontiguousarray(index.dir, dtype=np.int32)
             self._hs = np.ascontiguousarray(index.hs, dtype=np.uint64)
+        self._nz = None
+        if getattr(index, "ensure_nz", None) is not None:
+            self._nz = np.ascontiguousarray(index.ensure_nz(),
+                                            dtype=np.uint64)
         n = len(self._genomes)
         gptrs = (C.c_void_p * n)(*[g.ctypes.data for g in self._genomes])
         glens = (C.c_int64 * n)(*[len(g) for g in self._genomes])
         fptrs = (C.c_void_p * n)(*[f.ctypes.data for f in self._gfeats])
         frows = (C.c_int64 * n)(*[f.shape[0] for f in self._gfeats])
         gids = (C.c_char_p * n)(*[s.encode() for s in genome_ids])
-        self._h = lib.le_create(
+        self._h = lib.le_create2(
             n, gptrs, glens, fptrs, frows,
             self._dir.ctypes.data, self._hs.ctypes.data,
+            self._nz.ctypes.data if self._nz is not None else None,
             index.span, index.weight,
             thd_DI, thd_X, gap_len_min, f_dup, f_chain,
             sequence_sam, reform_ccs, cah_stop_ratio, gids)

@@ -99,12 +99,30 @@ struct Engine {
 
 extern "C" {
 
+void* le_create2(i64, const u8**, const i64*, const i32**, const i64*,
+                 const i32*, const u64*, const u64*, int, int, i64, i64, i64,
+                 int, int, int, int, double, const char**);
+
 void* le_create(i64 n_genomes, const u8** genome_ptrs, const i64* genome_lens,
                 const i32** gfeat_ptrs, const i64* gfeat_rows, const i32* dir,
                 const u64* hs, int span, int weight, i64 thd_DI, i64 thd_X,
                 i64 gap_len_min, int f_dup, int f_chain, int sequence_sam,
                 int reform_ccs, double cah_stop_ratio,
                 const char** genome_id_strs) {
+    return le_create2(n_genomes, genome_ptrs, genome_lens, gfeat_ptrs,
+                      gfeat_rows, dir, hs, nullptr, span, weight, thd_DI,
+                      thd_X, gap_len_min, f_dup, f_chain, sequence_sam,
+                      reform_ccs, cah_stop_ratio, genome_id_strs);
+}
+
+// le_create + optional non-empty-bucket bitmap (see DIndexView.nz)
+void* le_create2(i64 n_genomes, const u8** genome_ptrs, const i64* genome_lens,
+                 const i32** gfeat_ptrs, const i64* gfeat_rows, const i32* dir,
+                 const u64* hs, const u64* nz_bitmap, int span, int weight,
+                 i64 thd_DI, i64 thd_X,
+                 i64 gap_len_min, int f_dup, int f_chain, int sequence_sam,
+                 int reform_ccs, double cah_stop_ratio,
+                 const char** genome_id_strs) {
     Engine* e = new Engine();
     e->genomes.assign(genome_ptrs, genome_ptrs + n_genomes);
     e->genome_lens.assign(genome_lens, genome_lens + n_genomes);
@@ -115,6 +133,7 @@ void* le_create(i64 n_genomes, const u8** genome_ptrs, const i64* genome_lens,
     for (i64 g = 0; g < n_genomes; g++) e->genome_ids.push_back(genome_id_strs[g]);
     e->index.dir = dir;
     e->index.hs = hs;
+    e->index.nz = nz_bitmap;
     e->index.span = span;
     e->index.weight = weight;
     e->thd_DI = thd_DI;
@@ -384,6 +403,7 @@ void le_build_features(const u8* seq, i64 seq_len, i64 threads, i32* out) {
 namespace {
 struct IndexBuild {
     std::vector<u64> hs;
+    std::vector<u64> nz;  // non-empty-bucket bitmap
 };
 }  // namespace
 
@@ -506,9 +526,12 @@ void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
     std::sort(samples.begin(), samples.end());
     lap("sort");
     b->hs.reserve(samples.size());
+    b->nz.assign((size_t)(((full - 1) + 63) >> 6), 0);
     for (auto& s : samples)
-        if (dir_out[s.first + 1] - dir_out[s.first] > 0)
+        if (dir_out[s.first + 1] - dir_out[s.first] > 0) {
             b->hs.push_back(s.second);
+            b->nz[s.first >> 6] |= 1ull << (s.first & 63);
+        }
     lap("hs_fill");
     return b;
 }
@@ -588,6 +611,12 @@ void le_index_fetch_hs(void* bp, u64* hs_out) {
     IndexBuild* b = (IndexBuild*)bp;
     if (!b->hs.empty())
         std::memcpy(hs_out, b->hs.data(), b->hs.size() * sizeof(u64));
+}
+i64 le_index_nz_len(void* bp) { return (i64)((IndexBuild*)bp)->nz.size(); }
+void le_index_fetch_nz(void* bp, u64* nz_out) {
+    IndexBuild* b = (IndexBuild*)bp;
+    if (!b->nz.empty())
+        std::memcpy(nz_out, b->nz.data(), b->nz.size() * sizeof(u64));
 }
 void le_index_free(void* bp) { delete (IndexBuild*)bp; }
 

@@ -102,9 +102,11 @@ def test_native_builders_match_numpy(threads):
                                  DI.DEFAULT_MIN_STEP, DI.DEFAULT_MAX_STEP,
                                  DI.DEFAULT_OMIT_BLOCK, threads)
     assert nat is not None
-    dirp, hs = nat
+    dirp, hs, nz = nat
     assert np.array_equal(dirp.astype(np.int64), np.asarray(want_ix.dir, dtype=np.int64))
     assert np.array_equal(hs, want_ix.hs)
+    # the non-empty-bucket bitmap must agree with the dir table
+    assert np.array_equal(nz, want_ix.ensure_nz())
 
 
 def test_native_alg1_matches_python(tmp_path):
