@@ -218,3 +218,70 @@ def banded_align_oracle(q: np.ndarray, r: np.ndarray, W: int = 128) -> int:
             H[i, j] = max(H[i - 1, j - 1] + s, H[i - 1, j] + S_GAP,
                           H[i, j - 1] + S_GAP)
     return int(max(H[n, : m + 1].max(), H[: n + 1, m].max()))
+
+
+def banded_align_cigar(q: np.ndarray, r: np.ndarray, W: int = 128):
+    """Host traceback companion to the device kernel: full banded DP with
+    traceback for the (few) pairs whose kernel score passed the caller's
+    acceptance filter — the reference clips most candidates by score
+    before emitting records (src/align_interface.cpp:1596-2195), so the
+    batch score pass runs on device and only survivors pay the O(n*m)
+    host traceback. Returns (score, cigar, q_span, r_span) with cigar in
+    SAM =/X/I/D ops ('I' consumes query); end gaps are NOT emitted
+    (free-end overlap semantics)."""
+    n, m = len(q), len(r)
+    if n == 0 or m == 0:
+        return 0, "", (0, 0), (0, 0)
+    H = np.full((n + 1, m + 1), NEG, dtype=np.int64)
+    H[0, : m + 1] = 0
+    H[: n + 1, 0] = 0
+    for i in range(1, n + 1):
+        lo = max(1, i - W)
+        hi = min(m, i + W - 1)
+        if lo > hi:
+            continue
+        js = np.arange(lo, hi + 1)
+        sub = np.where(q[i - 1] == r[lo - 1: hi], S_MATCH, S_MISMATCH)
+        diag = H[i - 1, lo - 1: hi] + sub
+        up = H[i - 1, lo: hi + 1] + S_GAP
+        cand = np.maximum(diag, up)
+        # serial left dependency
+        row = H[i]
+        prev = row[lo - 1]
+        for k, j in enumerate(js):
+            v = cand[k]
+            if prev + S_GAP > v:
+                v = prev + S_GAP
+            row[j] = v
+            prev = v
+    # best end cell over last row / last column
+    endr = int(np.argmax(H[n, : m + 1]))
+    endc = int(np.argmax(H[: n + 1, m]))
+    if H[n, endr] >= H[endc, m]:
+        i, j = n, endr
+    else:
+        i, j = endc, m
+    score = int(H[i, j])
+    qe, re_ = i, j
+    ops = []
+    while i > 0 and j > 0:
+        s_ = S_MATCH if q[i - 1] == r[j - 1] else S_MISMATCH
+        if H[i, j] == H[i - 1, j - 1] + s_:
+            ops.append("=" if s_ == S_MATCH else "X")
+            i -= 1
+            j -= 1
+        elif H[i, j] == H[i - 1, j] + S_GAP:
+            ops.append("I")
+            i -= 1
+        else:
+            ops.append("D")
+            j -= 1
+    # compress run-length
+    ops.reverse()
+    cigar = []
+    for op in ops:
+        if cigar and cigar[-1][1] == op:
+            cigar[-1][0] += 1
+        else:
+            cigar.append([1, op])
+    return (score, "".join(f"{c}{o}" for c, o in cigar), (i, qe), (j, re_))

@@ -41,3 +41,34 @@ def test_kernel_matches_oracle(W):
     for i, (q, r) in enumerate(zip(qry, ref)):
         exp = AP.banded_align_oracle(q, r, W=W)
         assert got[i] == exp, (i, got[i], exp)
+
+
+def test_cigar_traceback_consistent():
+    """Host traceback: score equals the kernel/oracle; the CIGAR replays
+    to exactly that score over the reported spans."""
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        base = rng.integers(0, 4, int(rng.integers(60, 300))).astype(np.uint8)
+        q = _mutate(base, rng)
+        r = base
+        score, cig, (q0, q1), (r0, r1) = AP.banded_align_cigar(q, r, W=64)
+        assert score == AP.banded_align_oracle(q, r, W=64)
+        # replay
+        import re as _re
+        i, j, s = q0, r0, 0
+        for cnt, op in _re.findall(r"(\d+)([=XID])", cig):
+            cnt = int(cnt)
+            if op in "=X":
+                for _ in range(cnt):
+                    s += AP.S_MATCH if q[i] == r[j] else AP.S_MISMATCH
+                    assert (q[i] == r[j]) == (op == "="), (i, j, op)
+                    i += 1
+                    j += 1
+            elif op == "I":
+                s += AP.S_GAP * cnt
+                i += cnt
+            else:
+                s += AP.S_GAP * cnt
+                j += cnt
+        assert (i, j) == (q1, r1)
+        assert s == score, (s, score)
