@@ -145,8 +145,15 @@ def main():
     NE.engine_lib()
     _load_native("lt_seqio")
 
+    try:
+        import jax
+
+        jax.devices()
+        dev0 = "tpu"
+    except Exception:
+        dev0 = "host"
     t0 = time.time()
-    mapper = Mapper([g_fa], MapperConfig(), device="tpu")
+    mapper = Mapper([g_fa], MapperConfig(), device=dev0)
     # prepares (features + DIndex build) then forks workers; still before
     # any device work (children must never inherit a TPU client)
     pipe = PipelineMapper(mapper)
@@ -154,7 +161,12 @@ def main():
 
     # warm-up: compile the device kernels (one-time per machine, persistent
     # XLA cache) and run a separate small file through the pipeline
-    mapper.warmup()
+    if mapper.device == "tpu":
+        try:
+            mapper.warmup()
+        except Exception as e:
+            print(f"device warmup failed, host mode: {e}", file=sys.stderr)
+            mapper.device = "host"
 
     # device auto-calibration (production dispatch decision): measure the
     # ACTUAL pipeline warm on the warm file with the device seed feeder on
@@ -178,13 +190,17 @@ def main():
         rates = {}
         for dev in ("tpu", "host"):
             mapper.device = dev
-            for _ in pipe.run(w_fa, collect_cords=False):  # warm
-                pass
-            tc = time.time()
-            n = 0
-            for br in pipe.run(w_fa, collect_cords=False):
-                n += len(br.block.seqs)
-            rates[dev] = n / (time.time() - tc)
+            try:
+                for _ in pipe.run(w_fa, collect_cords=False):  # warm
+                    pass
+                tc = time.time()
+                n = 0
+                for br in pipe.run(w_fa, collect_cords=False):
+                    n += len(br.block.seqs)
+                rates[dev] = n / (time.time() - tc)
+            except Exception as e:  # device unusable: calibrate host-only
+                print(f"calibration[{dev}] failed: {e}", file=sys.stderr)
+                rates[dev] = 0.0
         mapper.device = "tpu" if rates["tpu"] >= rates["host"] else "host"
         stages["pipe_tpu_reads_per_s"] = round(rates["tpu"], 1)
         stages["pipe_host_reads_per_s"] = round(rates["host"], 1)
