@@ -201,7 +201,7 @@ def main():
             except Exception as e:  # device unusable: calibrate host-only
                 print(f"calibration[{dev}] failed: {e}", file=sys.stderr)
                 rates[dev] = 0.0
-        mapper.device = "tpu" if rates["tpu"] >= rates["host"] else "host"
+        mapper.device = "tpu" if rates["tpu"] > rates["host"] else "host"
         stages["pipe_tpu_reads_per_s"] = round(rates["tpu"], 1)
         stages["pipe_host_reads_per_s"] = round(rates["host"], 1)
         stages["n_workers"] = pipe.n_workers
