@@ -275,9 +275,10 @@ static inline void query_anchors(const DIndexView& ix, const u8* read,
 // ---------------------------------------------------- gap-module streams
 // g_hs: N/A[1]|xval[30]|type[2]|strand[1]|coordinate[30] (src/gap_util.cpp:522)
 
-// gap-module wall accumulators (ns): 0 = kmer/clip streams, 1 = spare.
+// gap-module wall accumulators (ns): 0 = kmer/clip streams, 1 = map_gap_
+// total, 2 = map_interval total, 3 = set_anchors+chain inside intervals.
 // Defined in lt_engine.cpp; read via le_gap_stage_ns.
-extern i64 g_gap_ns[2];
+extern i64 g_gap_ns[4];
 struct GapNsScope {
     int k;
     double t0;

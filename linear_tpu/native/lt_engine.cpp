@@ -31,7 +31,7 @@
 
 using namespace le;
 
-namespace le { i64 g_apx_ns[3] = {0, 0, 0}; i64 g_gap_ns[2] = {0, 0}; }
+namespace le { i64 g_apx_ns[3] = {0, 0, 0}; i64 g_gap_ns[4] = {0, 0, 0, 0}; }
 
 namespace {
 
@@ -602,8 +602,8 @@ void le_apx_stage_ns(i64* out3) {
     for (int k = 0; k < 3; k++) { out3[k] = g_apx_ns[k]; g_apx_ns[k] = 0; }
 }
 
-void le_gap_stage_ns(i64* out2) {
-    for (int k = 0; k < 2; k++) { out2[k] = g_gap_ns[k]; g_gap_ns[k] = 0; }
+void le_gap_stage_ns(i64* out4) {
+    for (int k = 0; k < 4; k++) { out4[k] = g_gap_ns[k]; g_gap_ns[k] = 0; }
 }
 
 i64 le_index_hs_len(void* bp) { return (i64)((IndexBuild*)bp)->hs.size(); }
