@@ -138,13 +138,28 @@ def run_filter(args) -> int:
     f_bam = args.output_type & 4
     f_pbsv = args.output_type & 8
     n_done = 0
+    # with -o and multiple read files the reference routes EVERY input into
+    # the one shared output set (append across files, single header,
+    # src/mapper.cpp:601-613 open_mapper_of append + :981-1003); without
+    # -o each input file gets its own <name>.sam/.apf
+    shared = bool(args.output)
+    of_sam_shared = of_apf_shared = None
+    bam_shared: list = []
+    if shared:
+        of_sam_shared = open(args.output + ".sam", "w") if f_sam else None
+        of_apf_shared = open(args.output + ".apf", "w") if f_apf else None
+        if of_sam_shared:
+            of_sam_shared.write(mapper.sam_header())
     for rpath in read_paths:
         prefix = args.output or rpath.split("/")[-1].split(".")[0]
-        of_sam = open(prefix + ".sam", "w") if f_sam else None
-        of_apf = open(prefix + ".apf", "w") if f_apf else None
-        bam_lines: list = []
-        if of_sam:
-            of_sam.write(mapper.sam_header())
+        if shared:
+            of_sam, of_apf, bam_lines = of_sam_shared, of_apf_shared, bam_shared
+        else:
+            of_sam = open(prefix + ".sam", "w") if f_sam else None
+            of_apf = open(prefix + ".apf", "w") if f_apf else None
+            bam_lines = []
+            if of_sam:
+                of_sam.write(mapper.sam_header())
         t1 = time.time()
 
         def emit(block, cs, ce, sam, bl):
@@ -172,19 +187,39 @@ def run_filter(args) -> int:
                     cs, ce, sam = mapper.map_block(block)
                     bl = []
                 emit(block, cs, ce, sam, bl)
-        for of in (of_sam, of_apf):
+        if not shared:
+            for of in (of_sam, of_apf):
+                if of:
+                    of.close()
+            if f_bam:
+                BAM.write_bam(prefix + ".bam", mapper.sam_header(),
+                              mapper.genome_ids, mapper.genome_lens, bam_lines)
+            if f_pbsv:
+                hdr = BL.sam_header_pbsv(mapper.genome_ids, mapper.genome_lens,
+                                         cfg.read_group, cfg.sample_name,
+                                         cfg.cmd_line)
+                BAM.write_bam(prefix + "_pbsv.bam", hdr,
+                              mapper.genome_ids, mapper.genome_lens, bam_lines)
+            outs = [prefix + ext for ext, fl in
+                    ((".apf", f_apf), (".sam", f_sam), (".bam", f_bam),
+                     ("_pbsv.bam", f_pbsv)) if fl]
+            print("Result files: " + " ".join(outs), file=sys.stderr)
+    if shared:
+        for of in (of_sam_shared, of_apf_shared):
             if of:
                 of.close()
         if f_bam:
-            BAM.write_bam(prefix + ".bam", mapper.sam_header(),
-                          mapper.genome_ids, mapper.genome_lens, bam_lines)
+            BAM.write_bam(args.output + ".bam", mapper.sam_header(),
+                          mapper.genome_ids, mapper.genome_lens, bam_shared)
         if f_pbsv:
             hdr = BL.sam_header_pbsv(mapper.genome_ids, mapper.genome_lens,
-                                     cfg.read_group, cfg.sample_name, cfg.cmd_line)
-            BAM.write_bam(prefix + "_pbsv.bam", hdr,
-                          mapper.genome_ids, mapper.genome_lens, bam_lines)
-        outs = [prefix + ext for ext, fl in
-                ((".apf", f_apf), (".sam", f_sam), (".bam", f_bam), ("_pbsv.bam", f_pbsv)) if fl]
+                                     cfg.read_group, cfg.sample_name,
+                                     cfg.cmd_line)
+            BAM.write_bam(args.output + "_pbsv.bam", hdr,
+                          mapper.genome_ids, mapper.genome_lens, bam_shared)
+        outs = [args.output + ext for ext, fl in
+                ((".apf", f_apf), (".sam", f_sam), (".bam", f_bam),
+                 ("_pbsv.bam", f_pbsv)) if fl]
         print("Result files: " + " ".join(outs), file=sys.stderr)
     if pipeline is not None:
         pipeline.close()

@@ -49,13 +49,16 @@ def _map_chunk(task):
     from ..map.chaining import chain_records_from_dp
     from ..map.pmpfinder import run_lockstep
 
-    reads, rids, seeds, chain_raws, collect_bam, collect_cords = task
+    reads, rids, seeds, chain_raws, collect_bam, collect_cords, persist = task
     m = _WORKER_MAPPER
-    # fresh GapParms per chunk: chunk boundaries are fixed by the block
-    # splitter, so the output is deterministic regardless of which worker
-    # runs the chunk (the per-task parms state mirrors the reference's
-    # per-thread one at task granularity; see Mapper.gap_parms)
-    m.reset_gap_parms()
+    # State model (see Mapper.gap_parms): the reference's GapParms/PMPParms
+    # are per COMPUTE THREAD and persist across tasks, blocks AND input
+    # files. With ONE worker that schedule is deterministic, and the single
+    # worker process reproduces it by never resetting (persist=True). With
+    # several workers the reference's own task->thread assignment races;
+    # fresh parms per task reproduces its observed split-schedule outcome.
+    if not persist:
+        m.reset_gap_parms()
     ne = m.native_engine()
     if ne is not None:
         if not (collect_bam or collect_cords):
@@ -223,10 +226,13 @@ class PipelineMapper:
                     csize = max(1, -(-n // (4 * self.n_workers)))
                     spans = [(i, min(i + csize, n)) for i in range(0, n, csize)]
 
+                    persist = self.n_workers == 1
+
                     def emit(ti, seeds, chain_raw):
                         i, j = spans[ti]
                         q.put((block.seqs[i:j], block.ids[i:j], seeds[i:j],
-                               chain_raw[i:j], collect_bam, collect_cords))
+                               chain_raw[i:j], collect_bam, collect_cords,
+                               persist))
 
                     if m.device == "tpu" and m.use_native():
                         ti = 0

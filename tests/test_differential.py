@@ -167,6 +167,40 @@ def test_hindex_bit_identical(tmp_path, corpus, seed, gap_len):
 
 
 @needs_ref
+def test_multi_read_file_shared_output_bit_identical(tmp_path):
+    """`r1.fa r2.fa x g.fa -o P`: the reference routes every input into ONE
+    shared output set, with per-THREAD GapParms/PMPParms state persisting
+    ACROSS input files (the -t 1 schedule is deterministic). Both the
+    shared-append CLI semantics and the cross-file state leak must
+    reproduce bit for bit."""
+    import subprocess
+    import sys as _sys
+
+    rng = np.random.default_rng(31)
+    genome = DT.make_genomic_genome(rng, 200000)
+    g_fa = str(tmp_path / "g.fa")
+    seqio.write_fasta(g_fa, ["chr0 g"], [genome])
+    reads = DT.simulate(rng, [genome], 24)
+    r1 = str(tmp_path / "r1.fa")
+    r2 = str(tmp_path / "r2.fa")
+    seqio.write_fasta(r1, [f"a{i}" for i in range(12)], reads[:12])
+    seqio.write_fasta(r2, [f"b{i}" for i in range(12)], reads[12:])
+    subprocess.run([os.path.abspath(DT.REF_BIN), "filter", "r1.fa", "r2.fa",
+                    "x", "g.fa", "-t", "1", "-g", "50", "-o", "ref",
+                    "-ot", "3"],
+                   check=True, capture_output=True, cwd=str(tmp_path))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([_sys.executable, "-m", "linear_tpu", "filter", "r1.fa",
+                    "r2.fa", "x", "g.fa", "-t", "1", "-g", "50", "-o",
+                    "mine", "-ot", "3"],
+                   check=True, capture_output=True, cwd=str(tmp_path), env=env)
+    assert (tmp_path / "ref.sam").read_bytes() == (tmp_path / "mine.sam").read_bytes()
+    strip = lambda p: [l for l in p.read_text().splitlines() if l.strip()]
+    assert strip(tmp_path / "ref.apf") == strip(tmp_path / "mine.apf")
+
+
+@needs_ref
 @pytest.mark.parametrize("seed,threads,gap_len", [
     (101, 1, 50), (202, 1, 0), (707, 4, 50),
 ])
