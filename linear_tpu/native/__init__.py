@@ -32,11 +32,16 @@ def _build(name: str) -> str | None:
     if os.path.exists(so) and os.path.getmtime(so) >= newest_dep:
         return so
     try:
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fopenmp", "-shared", "-fPIC", src,
-             "-lz", "-o", so + ".tmp"],
-            check=True, capture_output=True, timeout=240,
-        )
+        # -march=native is safe here: the .so is built on demand PER
+        # MACHINE (never shipped), and the host's vector ISA speeds up the
+        # feature-script and window-distance lane math measurably
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fopenmp",
+               "-shared", "-fPIC", src, "-lz", "-o", so + ".tmp"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        except subprocess.CalledProcessError:
+            cmd.remove("-march=native")  # unusual toolchains
+            subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         os.replace(so + ".tmp", so)
         return so
     except Exception:
