@@ -41,7 +41,7 @@ t_dev = time.time() - t0
 print(f"device build: cold {t_dev_cold:.2f}s  warm {t_dev:.2f}s  "
       f"entries {n_kept}")
 if nat is not None:
-    host_dir, host_hs = nat
+    host_dir, host_hs = nat[0], nat[1]
     ok = (np.asarray(dirp) == host_dir).all() and \
          (np.asarray(scord[:n_kept]).view(np.uint64) == host_hs).all()
     print(f"device == host: {ok}")

@@ -16,8 +16,8 @@ from linear_tpu.utils import seqio
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 DEV = sys.argv[2] if len(sys.argv) > 2 else "host"
 
-g_fa = ".bench_cache/bench_g.fa"
-r_fa = ".bench_cache/bench_r1024.fa"
+g_fa = ".bench_cache/bench_gen_g.fa"
+r_fa = ".bench_cache/bench_gen_r10240.fa"
 
 t0 = time.time()
 mapper = Mapper([g_fa], MapperConfig(), device=DEV)
