@@ -167,6 +167,41 @@ def test_hindex_bit_identical(tmp_path, corpus, seed, gap_len):
 
 
 @needs_ref
+def test_ultra_long_reads_bit_identical(tmp_path):
+    """Ultra-long reads (150-500 kb — past the device pad bucket, toward
+    the 20-bit cord-y limit) through the full CLI: host fallback paths and
+    50k-block handling must stay bit-identical."""
+    import subprocess
+    import sys as _sys
+
+    rng = np.random.default_rng(61)
+    genome = DT.make_genomic_genome(rng, 800000)
+    g_fa = str(tmp_path / "g.fa")
+    seqio.write_fasta(g_fa, ["chr0 g"], [genome])
+    reads = []
+    for i, ln in enumerate([150000, 200000, 60000, 300000, 5000, 500000]):
+        pos = int(rng.integers(0, 800000 - ln)) if ln < 790000 else 0
+        seg = genome[pos: pos + min(ln, 790000)]
+        r = DT.mutate(seg, rng)
+        if i % 2:
+            r = seqio.revcomp(r)
+        reads.append(r)
+    r_fa = str(tmp_path / "r.fa")
+    seqio.write_fasta(r_fa, [f"ul{i}" for i in range(len(reads))], reads)
+    subprocess.run([os.path.abspath(DT.REF_BIN), "filter", "r.fa", "g.fa",
+                    "-t", "1", "-g", "50", "-o", "ref", "-ot", "3"],
+                   check=True, capture_output=True, cwd=str(tmp_path))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([_sys.executable, "-m", "linear_tpu", "filter", "r.fa",
+                    "g.fa", "-t", "1", "-g", "50", "-o", "mine", "-ot", "3"],
+                   check=True, capture_output=True, cwd=str(tmp_path), env=env)
+    assert (tmp_path / "ref.sam").read_bytes() == (tmp_path / "mine.sam").read_bytes()
+    strip = lambda p: [l for l in p.read_text().splitlines() if l.strip()]
+    assert strip(tmp_path / "ref.apf") == strip(tmp_path / "mine.apf")
+
+
+@needs_ref
 def test_multi_read_file_shared_output_bit_identical(tmp_path):
     """`r1.fa r2.fa x g.fa -o P`: the reference routes every input into ONE
     shared output set, with per-THREAD GapParms/PMPParms state persisting
