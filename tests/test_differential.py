@@ -167,6 +167,37 @@ def test_hindex_bit_identical(tmp_path, corpus, seed, gap_len):
 
 
 @needs_ref
+def test_fastq_gz_input_bit_identical(tmp_path):
+    """gzipped FASTQ input through the native reader (lt_seqio): byte-
+    identical SAM vs the reference on the realistic corpus."""
+    import gzip
+    import subprocess
+    import sys as _sys
+
+    rng = np.random.default_rng(41)
+    genome = DT.make_genomic_genome(rng, 150000)
+    g_fa = str(tmp_path / "g.fa")
+    seqio.write_fasta(g_fa, ["chr0 g"], [genome])
+    reads = DT.simulate(rng, [genome], 16)
+    code = "ACGTN"
+    with gzip.open(tmp_path / "r.fq.gz", "wt") as f:
+        for i, r in enumerate(reads):
+            sq = "".join(code[c] for c in r)
+            f.write(f"@rd{i} sim\n{sq}\n+\n{'I' * len(sq)}\n")
+    subprocess.run([os.path.abspath(DT.REF_BIN), "filter", "r.fq.gz", "g.fa",
+                    "-t", "1", "-g", "50", "-o", "ref", "-ot", "3"],
+                   check=True, capture_output=True, cwd=str(tmp_path))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([_sys.executable, "-m", "linear_tpu", "filter", "r.fq.gz",
+                    "g.fa", "-t", "1", "-g", "50", "-o", "mine", "-ot", "3"],
+                   check=True, capture_output=True, cwd=str(tmp_path), env=env)
+    assert (tmp_path / "ref.sam").read_bytes() == (tmp_path / "mine.sam").read_bytes()
+    strip = lambda p: [l for l in p.read_text().splitlines() if l.strip()]
+    assert strip(tmp_path / "ref.apf") == strip(tmp_path / "mine.apf")
+
+
+@needs_ref
 def test_ultra_long_reads_bit_identical(tmp_path):
     """Ultra-long reads (150-500 kb — past the device pad bucket, toward
     the 20-bit cord-y limit) through the full CLI: host fallback paths and
