@@ -17,6 +17,10 @@
 
 #include <algorithm>
 #include <functional>
+#ifdef _OPENMP
+#include <omp.h>
+#include <parallel/algorithm>
+#endif
 
 namespace le {
 
@@ -115,17 +119,39 @@ static inline void hb_finalize(std::vector<u64>& hs, int weight,
         b.empty_dir = 0;
         return;
     }
-    // stable sort node pairs by the low 2*weight bits of the head xval
+    // stable sort node pairs by the low 2*weight bits of the head xval.
+    // Encoded as (key << 46) | index: the composite u64s are DISTINCT
+    // (index is unique), so an unstable sort of them reproduces the
+    // stable order exactly — and sorts plain u64s instead of chasing a
+    // comparator through the hs array (2*weight = 18 bits for the 17-mer
+    // HIndex; n < 2^46 always)
     u64 kmask = (1ull << (2 * weight)) - 1;
-    std::vector<i64> order(n);
-    for (i64 i = 0; i < n; i++) order[i] = i;
-    std::stable_sort(order.begin(), order.end(), [&](i64 a, i64 c) {
-        return (hs[2 * a] & kmask) < (hs[2 * c] & kmask);
-    });
+    std::vector<u64> order(n);
+    if (2 * weight <= 18) {
+        for (i64 i = 0; i < n; i++)
+            order[i] = ((hs[2 * i] & kmask) << 46) | (u64)i;
+#ifdef _OPENMP
+        __gnu_parallel::sort(order.begin(), order.end());
+#else
+        std::sort(order.begin(), order.end());
+#endif
+    } else {  // wider keys: comparator-based stable sort (same permutation)
+        for (i64 i = 0; i < n; i++) order[i] = (u64)i;
+        auto cmp = [&](u64 a, u64 c) {
+            return (hs[2 * a] & kmask) < (hs[2 * c] & kmask);
+        };
+#ifdef _OPENMP
+        __gnu_parallel::stable_sort(order.begin(), order.end(), cmp);
+#else
+        std::stable_sort(order.begin(), order.end(), cmp);
+#endif
+    }
+    const u64 imask = (2 * weight <= 18) ? ((1ull << 46) - 1) : ~0ull;
     std::vector<u64> hx(n), bodies(n);
     for (i64 i = 0; i < n; i++) {
-        hx[i] = hs[2 * order[i]] & HB_MASK40;
-        bodies[i] = hs[2 * order[i] + 1];
+        i64 o = (i64)(order[i] & imask);
+        hx[i] = hs[2 * o] & HB_MASK40;
+        bodies[i] = hs[2 * o + 1];
     }
     // group consecutive equal xvals
     std::vector<i64> grp_start;  // index into bodies
@@ -137,17 +163,25 @@ static inline void hb_finalize(std::vector<u64>& hs, int weight,
     i64 total_nodes = n_grp + n;
     b.ysa.assign(total_nodes + 2, 0);
     std::vector<i64> grp_head_pos(n_grp);
-    i64 pos = 0;
+    {
+        i64 pos = 0;
+        for (i64 g = 0; g < n_grp; g++) {
+            grp_head_pos[g] = pos;
+            pos += grp_start[g + 1] - grp_start[g] + 1;
+        }
+    }
+    // per-group descending body sorts are independent (bodies are distinct
+    // u64s, so the comparator admits exactly one sorted order)
+#pragma omp parallel for schedule(dynamic, 1024)
     for (i64 g = 0; g < n_grp; g++) {
         i64 s0 = grp_start[g], s1 = grp_start[g + 1];
         i64 sz = s1 - s0;
-        grp_head_pos[g] = pos;
+        i64 pos = grp_head_pos[g];
         b.ysa[pos] = hb_make_head((u64)(sz + 1), hx[s0]);
         if (!(abort_last && g == n_grp - 1))
             std::sort(bodies.begin() + s0, bodies.begin() + s1,
                       std::greater<u64>());
         for (i64 j = 0; j < sz; j++) b.ysa[pos + 1 + j] = bodies[s0 + j];
-        pos += sz + 1;
     }
     i64 fill_grps;
     if (abort_last && n_grp >= 1) {
@@ -156,7 +190,7 @@ static inline void hb_finalize(std::vector<u64>& hs, int weight,
         b.ysa[b.empty_dir + 1] = 0;
         fill_grps = n_grp - 1;
     } else {
-        b.empty_dir = pos;
+        b.empty_dir = total_nodes;
         fill_grps = n_grp;
     }
     // XString sizing (:1398-1420)
