@@ -26,6 +26,7 @@
 
 #include <map>
 #include <omp.h>
+#include <parallel/algorithm>
 #include <sys/mman.h>
 #include <memory>
 
@@ -523,7 +524,13 @@ void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
         }
     }
     lap("prefix");
+    // pairs are distinct (every sampled position yields a unique cord),
+    // so the parallel unstable sort reproduces std::sort's order exactly
+#ifdef _OPENMP
+    __gnu_parallel::sort(samples.begin(), samples.end());
+#else
     std::sort(samples.begin(), samples.end());
+#endif
     lap("sort");
     b->hs.reserve(samples.size());
     b->nz.assign((size_t)(((full - 1) + 63) >> 6), 0);
