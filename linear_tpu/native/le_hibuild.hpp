@@ -193,8 +193,9 @@ static inline void hb_finalize(std::vector<u64>& hs, int weight,
         b.empty_dir = total_nodes;
         fill_grps = n_grp;
     }
-    // XString sizing (:1398-1420)
+    // XString sizing (:1398-1420) — pure counting, safely parallel
     i64 count = 0;
+#pragma omp parallel for schedule(dynamic, 4096) reduction(+ : count)
     for (i64 g = 0; g < fill_grps; g++) {
         i64 sz = grp_start[g + 1] - grp_start[g];
         if (sz + 1 < blocklimit) {
