@@ -180,15 +180,28 @@ def main():
         wblock = next(seqio.read_blocks(w_fa))
         nw = len(wblock.seqs)
         ne = mapper.native_engine()
-        seeds = mapper._device_seed_block(wblock)  # device-path warm pass
+        # device-path warm pass: only when the device survived warmup()
+        # (on a host with broken/absent jax this would crash before the
+        # calibration try/except, defeating the degrade-to-host fallback)
+        if mapper.device == "tpu":
+            try:
+                seeds = mapper._device_seed_block(wblock)
+            except Exception as e:
+                print(f"device seed warm failed, host mode: {e}", file=sys.stderr)
+                mapper.device = "host"
+                seeds = [None] * nw
+        else:
+            seeds = [None] * nw
         tc = time.time()
         for r, rid, s in zip(wblock.seqs, wblock.ids, seeds):
             s = np.asarray(s, dtype=np.uint64) if s is not None else None
             ne.map_read(r, rid, seeds=s, do_output=False)
         stages["host_seeded_reads_per_s_per_core"] = round(
             nw / (time.time() - tc), 1)
-        rates = {}
-        for dev in ("tpu", "host"):
+        # don't resurrect a downgraded device: calibrate host-only then
+        rates = {"tpu": 0.0}
+        legs = ("tpu", "host") if mapper.device == "tpu" else ("host",)
+        for dev in legs:
             mapper.device = dev
             try:
                 for _ in pipe.run(w_fa, collect_cords=False):  # warm

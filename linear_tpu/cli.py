@@ -67,9 +67,9 @@ def run_filter(args) -> int:
     # REJECTED rather than silently ignored (HIndex/legacy features are
     # tracked in ROADMAP.md; silently running a different config is a
     # correctness trap for downstream users)
-    if args.index_type not in (1, 2):
+    if args.index_type not in (1, 2, 3):
         print(f"E[11]: unknown index type -i {args.index_type}; use 1 "
-              "(DIndex, default) or 2 (HIndex)", file=sys.stderr)
+              "(DIndex, default), 2 (HIndex) or 3 (SIndex)", file=sys.stderr)
         return 1
     cfg = MapperConfig(
         gap_len=args.gap_len,
@@ -108,14 +108,21 @@ def run_filter(args) -> int:
         from .index.serial import load_index
 
         mapper.create_features()
-        mapper.index = load_index(args.load_index)
+        try:
+            mapper.index = load_index(args.load_index,
+                                      expect_index_type=args.index_type,
+                                      genome_lens=mapper.genome_lens)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 1
         print(f"--Index loaded  {args.load_index}", file=sys.stderr)
     else:
         mapper.prepare()
     if args.save_index:
         from .index.serial import save_index
 
-        save_index(args.save_index, mapper.index)
+        save_index(args.save_index, mapper.index,
+                   genome_lens=mapper.genome_lens)
         print(f"--Index saved   {args.save_index}", file=sys.stderr)
     print(f"--Index created Elapsed time[s] {time.time() - t0:.2f}", file=sys.stderr)
 
@@ -128,7 +135,8 @@ def run_filter(args) -> int:
         from .parallel.pipeline import PipelineMapper
 
         pipeline = PipelineMapper(
-            mapper, n_workers=max(1, min(args.thread, (os.cpu_count() or 1) + 1)))
+            mapper, n_workers=max(1, min(args.thread, (os.cpu_count() or 1) + 1)),
+            csize_workers=max(1, args.thread))
 
     from .out import bam as BAM
     from .out import bamlink as BL

@@ -355,6 +355,12 @@ class Mapper:
     def create_index(self) -> None:
         from . import nengine as NE
 
+        if self.cfg.index_type == 3:
+            from ..index import sindex as SI
+
+            self.index = SI.build_sindex(self.genomes,
+                                         threads_emul=self.cfg.threads)
+            return
         if self.cfg.index_type == 2:
             from ..index import hindex as HI
 

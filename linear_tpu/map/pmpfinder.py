@@ -1019,14 +1019,19 @@ def mn_map_read_list(
     alg_type: int,
     pm: PMPParms,
 ) -> None:
-    """mnMapReadList (src/pmpfinder.cpp:2560): DIndex or HIndex seeding."""
+    """mnMapReadList (src/pmpfinder.cpp:2560): DIndex/HIndex/SIndex seeding."""
     from ..index import dindex as DI
     from ..index import hindex as HI
+    from ..index import sindex as SI
 
     read_str = cy(map_str)
     read_end = cy(map_end)
     if isinstance(index, HI.HIndex):
         got = HI.query_anchors(index, read, map_str, map_end,
+                               thd_alpha=pm.thd_alpha)
+        anchors.extend(int(a) for a in got)
+    elif isinstance(index, SI.SIndex):
+        got = SI.query_anchors(index, read, read_str, read_end,
                                thd_alpha=pm.thd_alpha)
         anchors.extend(int(a) for a in got)
     elif (pm.seed_anchors is not None and read_str == 0 and pm.thd_alpha == 15

@@ -325,8 +325,16 @@ def read_stream_hashes(
     Reproduces the init bias on `x` and the mixed windows of the first
     span-1 calls exactly (via the scalar oracle for those few positions).
     """
-    first = read_str + span
-    last = read_end - span  # exclusive
+    return read_stream_hashes_range(seq, read_str + span, read_end - span, span)
+
+
+def read_stream_hashes_range(
+    seq: np.ndarray, first: int, last: int, span: int
+) -> StreamHashes:
+    """read_stream_hashes with an explicit call range [first, last):
+    hashInit at 0, hashNexth at each j in the range. Used by the SIndex
+    query stream (getSIndexMatchAll, src/pmpfinder.cpp:1797: calls start
+    at read_str itself, not read_str+span)."""
     j = np.arange(first, last, dtype=np.int64)
     if len(j) <= 0:
         return StreamHashes(

@@ -174,12 +174,19 @@ class PipeCounters:
 class PipelineMapper:
     """Drives Mapper over one read file with the 3-stage pipeline."""
 
-    def __init__(self, mapper, n_workers: Optional[int] = None, depth: int = 2):
+    def __init__(self, mapper, n_workers: Optional[int] = None, depth: int = 2,
+                 csize_workers: Optional[int] = None):
         self.mapper = mapper
         # one worker more than cores: workers stall on result pickling /
         # task IPC often enough that mild oversubscription wins ~10-20%
         # on small hosts (measured on the 2-core bench host)
         self.n_workers = n_workers or (max(os.cpu_count() or 1, 1) + 1)
+        # task boundaries (hence the fresh-GapParms-per-task schedule that
+        # gap-phase output depends on) derive from csize_workers — callers
+        # pass the REQUESTED -t so the same command yields the same output
+        # on hosts with different core counts; only the actual pool size
+        # above is clamped to the machine
+        self.csize_workers = csize_workers or self.n_workers
         self.depth = depth
         # the children inherit the mapper copy-on-write, so it must be fully
         # prepared (features + index) before the fork; prepare() is
@@ -223,7 +230,7 @@ class PipelineMapper:
                 for block in seqio.read_blocks(read_path):
                     n = len(block.seqs)
                     c.fetched += n
-                    csize = max(1, -(-n // (4 * self.n_workers)))
+                    csize = max(1, -(-n // (4 * self.csize_workers)))
                     spans = [(i, min(i + csize, n)) for i in range(0, n, csize)]
 
                     persist = self.n_workers == 1
@@ -234,7 +241,13 @@ class PipelineMapper:
                                chain_raw[i:j], collect_bam, collect_cords,
                                persist))
 
-                    if m.device == "tpu" and m.use_native():
+                    # device seeding serves ONLY the DIndex/2_48 config (the
+                    # kernels are DIndex-only); use_native() also admits
+                    # -i 2, where injecting DIndex anchors into the HIndex
+                    # engine would be silently wrong (mirrors map_block's
+                    # gate, map/mapper.py:607)
+                    f_dev_seed = (m.cfg.index_type == 1 and m.cfg.feature_t == 2)
+                    if m.device == "tpu" and f_dev_seed and m.use_native():
                         ti = 0
                         for ready, seeds in m._device_seed_stream(block):
                             c.seeded = c.fetched - n + ready
@@ -244,7 +257,7 @@ class PipelineMapper:
                         while ti < len(spans):  # safety: stream is a prefix
                             emit(ti, seeds, [None] * n)
                             ti += 1
-                    elif m.device == "tpu":
+                    elif m.device == "tpu" and f_dev_seed:
                         seeds = m._device_seed_block(block)
                         chain_raw = m._device_chain_block(seeds, raw=True)
                         for ti in range(len(spans)):

@@ -167,6 +167,42 @@ def test_hindex_bit_identical(tmp_path, corpus, seed, gap_len):
 
 
 @needs_ref
+@pytest.mark.parametrize("corpus,seed,gap_len,threads", [
+    ("uniform", 11, 0, 1), ("uniform", 11, 50, 1), ("uniform", 11, 50, 2),
+    ("repeat", 20260821, 0, 1), ("repeat", 20260821, 50, 1),
+    ("genomic", 77, 50, 1),
+])
+def test_sindex_bit_identical(tmp_path, corpus, seed, gap_len, threads):
+    """-i 3 (SIndex, 21-mer per-xval bucket lists): differential vs the
+    reference binary (createSIndex src/index_util.cpp:2138-2196, query
+    getSIndexMatchAll src/pmpfinder.cpp:1785-1854, selected via
+    setIndexType(3) src/index_util.cpp:2443). The reference's multi-thread
+    build order is CAS-race-dependent (:2112-2122), so threads>1 coverage
+    is limited to the schedule observed stable on this host."""
+    from linear_tpu.utils.simdata import make_genomic_genome
+
+    rng = np.random.default_rng(seed)
+    if corpus == "repeat":
+        genomes = [DT.make_repeat_genome(rng, 150000)]
+    elif corpus == "genomic":
+        genomes = [make_genomic_genome(rng, 200000)]
+    else:
+        genomes = [rng.integers(0, 4, 120000).astype(np.uint8) for _ in range(2)]
+    genome_fa = str(tmp_path / "g.fa")
+    reads_fa = str(tmp_path / "r.fa")
+    seqio.write_fasta(genome_fa, [f"chr{i} s" for i in range(len(genomes))], genomes)
+    reads = DT.simulate(rng, genomes, 24)
+    seqio.write_fasta(reads_fa, [f"read{i} sim" for i in range(len(reads))], reads)
+    ref_sam, ref_apf = DT.run_reference(reads_fa, genome_fa, str(tmp_path / "ref"),
+                                        threads, gap_len, extra=("-i", "3"))
+    my_sam, my_apf = DT.run_ours(reads_fa, genome_fa, str(tmp_path / "mine"),
+                                 threads, gap_len, index_type=3)
+    assert open(ref_sam).read() == open(my_sam).read()
+    strip = lambda p: [l for l in open(p).read().splitlines() if l.strip()]
+    assert strip(ref_apf) == strip(my_apf)
+
+
+@needs_ref
 def test_fastq_gz_input_bit_identical(tmp_path):
     """gzipped FASTQ input through the native reader (lt_seqio): byte-
     identical SAM vs the reference on the realistic corpus."""
