@@ -193,6 +193,73 @@ class Mapper:
             ready = eligible[pos] if pos < len(eligible) else n
             yield ready, out
 
+    # second-tier anchor capacity for reads whose probe overflows
+    # SEED_M_OUT (23% of the realistic corpus at 128; 1.4% exceed 512 —
+    # measured probed distribution p50=86 p95=423 max=1275). The tier-2
+    # superchunk is 4x smaller: at m_out=512 a full-width chunk's fused
+    # d2h is 4.2 MB of mostly padding (~10 ms/MB of tunnel CPU)
+    SEED_M_OUT2 = 512
+    SEED_SUPERCHUNK2 = 256
+
+    def _device_seed_stream2(self, reads: "seqio.SeqSet"):
+        """Incremental device seeding with m_out tiering: yields
+        (idx_list, anchors_list) batches as each superchunk's results land.
+        idx are read indices within `reads`; anchors entries are uint64
+        arrays or None (N bases / overflowed both tiers -> host seeding).
+        Reads never yielded (ineligible, or the device failed) are the
+        caller's to host-seed. Packing of chunk k+1 overlaps the transfer
+        of chunk k; tier-2 redispatch (m_out=512) runs after the base pass
+        so late pipeline tasks still benefit from it."""
+        from ..ops import seeding as SD
+
+        try:
+            self._ensure_dev_index()
+        except Exception:
+            return
+        n = len(reads.seqs)
+        eligible = [i for i, r in enumerate(reads.seqs)
+                    if THD_MIN_READ_LEN < len(r) <= (1 << 17)]
+        if not eligible:
+            return
+        pad = 1 << max(int(np.ceil(np.log2(max(
+            len(reads.seqs[i]) for i in eligible)))), 10)
+        SC = self.SEED_SUPERCHUNK
+        SC2 = self.SEED_SUPERCHUNK2
+        pending = []  # (handle, idxs, n_mask, m_out)
+
+        def dispatch(idxs, m_out, rows):
+            w, n_mask = SD.pack_superchunk(
+                [reads.seqs[i] for i in idxs], pad, rows)
+            h = SD.dispatch_wire(w, self._dev_index, m_out)
+            pending.append((h, idxs, n_mask, m_out))
+
+        for c0 in range(0, len(eligible), SC):
+            dispatch(eligible[c0: c0 + SC], self.SEED_M_OUT, SC)
+        n_base = len(pending)
+        retry: List[int] = []
+        k = 0
+        while k < len(pending):
+            h, idxs, n_mask, m_out = pending[k]
+            k += 1
+            anchors, overflow = SD.collect_wire(h, len(idxs), n_mask, m_out)
+            if m_out == self.SEED_M_OUT:
+                # queue tier-2 for overflowed reads; dispatch when a full
+                # superchunk accumulates or once the base pass is collected
+                keep_i, keep_a = [], []
+                for i, a, ov in zip(idxs, anchors, overflow):
+                    if ov:
+                        retry.append(i)
+                    else:
+                        keep_i.append(i)
+                        keep_a.append(a)
+                while len(retry) >= SC2 or (retry and k >= n_base):
+                    dispatch(retry[:SC2], self.SEED_M_OUT2, SC2)
+                    del retry[:SC2]
+                if keep_i:
+                    yield keep_i, keep_a
+            else:
+                yield idxs, anchors
+
     def _device_extend_block(self, reads: "seqio.SeqSet", hits_list: List):
         """Batched device _filterHits + path_dst_2 (ops.extend_dev) for a
         read block: ships hits in / cords out; returns per-read uint64
@@ -412,6 +479,11 @@ class Mapper:
                                       m_out=self.SEED_M_OUT,
                                       superchunk=self.SEED_SUPERCHUNK)
         SD.seed_block_collect(disp, m_out=self.SEED_M_OUT)
+        # tier-2 overflow redispatch shape (see _device_seed_stream2)
+        w2, nm2 = SD.pack_superchunk(reads[: self.SEED_SUPERCHUNK2], pad,
+                                     self.SEED_SUPERCHUNK2)
+        h2 = SD.dispatch_wire(w2, self._dev_index, self.SEED_M_OUT2)
+        SD.collect_wire(h2, self.SEED_SUPERCHUNK2, nm2, self.SEED_M_OUT2)
         cnt = jnp.zeros((self.DEV_BATCH,), dtype=jnp.int32)
         outs = []
         for n in n_buckets:

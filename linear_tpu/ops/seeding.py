@@ -520,6 +520,42 @@ def seed_block_dispatch(reads: list, dindex_dev: DeviceIndex, pad_len: int,
     return out
 
 
+def dispatch_wire(wire: np.ndarray, dindex_dev: DeviceIndex, m_out: int):
+    """Enqueue one packed superchunk (from pack_superchunk) and start its
+    async d2h; returns the fused device array handle. Splitting dispatch
+    from packing lets callers interleave CPU packing of chunk k+1 with the
+    transfer of chunk k (seed_block_dispatch packs everything up front,
+    which serializes ~20 ms/superchunk of packing before the first h2d)."""
+    fused = _seed_superchunk_fused(
+        jnp.asarray(wire), dindex_dev.dir_start, dindex_dev.hs_lo,
+        dindex_dev.hs_hi, SPAN, WEIGHT, THD_ALPHA, dindex_dev.cap, m_out)
+    fused.copy_to_host_async()
+    return fused
+
+
+def collect_wire(fused, n_valid: int, n_mask: np.ndarray, m_out: int):
+    """Sync one dispatch_wire handle. Returns (anchors, overflow): anchors
+    is a length-n_valid list of uint64 arrays (None for N-containing reads
+    AND for overflowed ones), overflow a bool array marking reads whose
+    probe exceeded m_out — distinguishable from the N fallback so callers
+    can re-dispatch them at a larger m_out tier instead of host-seeding."""
+    arr = np.asarray(fused)
+    anc = arr[:, :-1].view(np.uint64)
+    count = (arr[:, -1] & 0xFFFFFFFF).astype(np.int64)
+    probed = (arr[:, -1] >> 32).astype(np.int64)
+    res: list = []
+    overflow = np.zeros(n_valid, dtype=bool)
+    for i in range(n_valid):
+        if n_mask[i]:
+            res.append(None)
+        elif probed[i] > m_out:
+            res.append(None)
+            overflow[i] = True
+        else:
+            res.append(anc[i, : count[i]].copy())
+    return res, overflow
+
+
 def seed_block_collect(dispatched, m_out: int = 128) -> list:
     """Sync phase of seed_block_dispatch: per-read uint64 anchor arrays in
     the C++ emission order (numpy, so worker-pool pickling stays cheap);

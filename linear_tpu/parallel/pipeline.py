@@ -171,6 +171,51 @@ class PipeCounters:
             self._last_lines = 0
 
 
+class _SeedCollector(threading.Thread):
+    """Runs Mapper._device_seed_stream2 in the background, marking reads
+    FINAL (seeded, or definitively host-fallback) as device results land.
+    The feeder never blocks on this thread: a task whose span is not final
+    ships unseeded when the worker pool runs hungry, so a slow or wedged
+    tunnel degrades throughput toward the pure-host rate instead of
+    starving the workers (the tunneled device's wall rate has been
+    observed to swing 134..8400 reads/s run to run)."""
+
+    def __init__(self, mapper, block, counters):
+        super().__init__(daemon=True)
+        from ..map.mapper import THD_MIN_READ_LEN
+
+        n = len(block.seqs)
+        self.final = np.zeros(n, dtype=bool)
+        self.seeds: List = [None] * n
+        self.done = False
+        self.mapper = mapper
+        self.block = block
+        self.c = counters
+        # ineligible reads are final from the start (never yielded)
+        for i, r in enumerate(block.seqs):
+            if not (THD_MIN_READ_LEN < len(r) <= (1 << 17)):
+                self.final[i] = True
+
+    def run(self):
+        try:
+            for idxs, anchors in self.mapper._device_seed_stream2(self.block):
+                n_got = 0
+                for i, a in zip(idxs, anchors):
+                    self.seeds[i] = a
+                    self.final[i] = True
+                    if a is not None:
+                        n_got += 1
+                self.c.seeded += n_got
+        except Exception:
+            pass
+        finally:
+            self.final[:] = True
+            self.done = True
+
+    def span_final(self, i: int, j: int) -> bool:
+        return bool(self.final[i:j].all())
+
+
 class PipelineMapper:
     """Drives Mapper over one read file with the 3-stage pipeline."""
 
@@ -188,6 +233,7 @@ class PipelineMapper:
         # above is clamped to the machine
         self.csize_workers = csize_workers or self.n_workers
         self.depth = depth
+        self._collector = None  # live _SeedCollector (at most one)
         # the children inherit the mapper copy-on-write, so it must be fully
         # prepared (features + index) before the fork; prepare() is
         # host-only, so the fork still happens before any device work and
@@ -226,6 +272,9 @@ class PipelineMapper:
         c = PipeCounters().start()
 
         def feeder():
+            import time as _time
+
+            emitted = 0  # reads handed to the pool so far (all blocks)
             try:
                 for block in seqio.read_blocks(read_path):
                     n = len(block.seqs)
@@ -236,10 +285,12 @@ class PipelineMapper:
                     persist = self.n_workers == 1
 
                     def emit(ti, seeds, chain_raw):
+                        nonlocal emitted
                         i, j = spans[ti]
                         q.put((block.seqs[i:j], block.ids[i:j], seeds[i:j],
                                chain_raw[i:j], collect_bam, collect_cords,
                                persist))
+                        emitted += j - i
 
                     # device seeding serves ONLY the DIndex/2_48 config (the
                     # kernels are DIndex-only); use_native() also admits
@@ -248,15 +299,37 @@ class PipelineMapper:
                     # gate, map/mapper.py:607)
                     f_dev_seed = (m.cfg.index_type == 1 and m.cfg.feature_t == 2)
                     if m.device == "tpu" and f_dev_seed and m.use_native():
-                        ti = 0
-                        for ready, seeds in m._device_seed_stream(block):
-                            c.seeded = c.fetched - n + ready
-                            while ti < len(spans) and spans[ti][1] <= ready:
-                                emit(ti, seeds, [None] * n)
-                                ti += 1
-                        while ti < len(spans):  # safety: stream is a prefix
-                            emit(ti, seeds, [None] * n)
-                            ti += 1
+                        # OPPORTUNISTIC seeding: a collector thread fills
+                        # seeds as device superchunks land; tasks ship
+                        # seeded when their span is final, and UNSEEDED the
+                        # moment the pool would otherwise go idle (output
+                        # is identical either way — seeds only skip the
+                        # native engine's own seeding). Back-pressure
+                        # target: keep ~(n_workers+1) tasks in flight.
+                        prev = self._collector
+                        if prev is not None and not prev.done:
+                            # normal lag after a previous run/block is the
+                            # tail superchunks' collect (<~1 s); a wedged
+                            # tunnel exceeds the bound and this block then
+                            # runs unseeded at the host rate
+                            prev.join(timeout=15.0)
+                        coll = None
+                        if prev is None or prev.done:
+                            coll = _SeedCollector(m, block, c)
+                            coll.start()
+                            self._collector = coll
+                        none = [None] * n
+                        hunger = csize * (self.n_workers + 1)
+                        for ti in range(len(spans)):
+                            i, j = spans[ti]
+                            if coll is not None:
+                                while (not coll.span_final(i, j)
+                                       and emitted - c.computed >= hunger):
+                                    _time.sleep(0.002)
+                                if coll.span_final(i, j):
+                                    emit(ti, coll.seeds, none)
+                                    continue
+                            emit(ti, none, none)
                     elif m.device == "tpu" and f_dev_seed:
                         seeds = m._device_seed_block(block)
                         chain_raw = m._device_chain_block(seeds, raw=True)
