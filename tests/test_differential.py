@@ -167,6 +167,48 @@ def test_hindex_bit_identical(tmp_path, corpus, seed, gap_len):
 
 
 @needs_ref
+@pytest.mark.parametrize("seed,threads,gap_len", [(11, 4, 50), (123, 2, 50)])
+def test_apf_strict_identical_b0(tmp_path, seed, threads, gap_len):
+    """-b 0 (process1 batch schedule): the reference's APF blank-line
+    grouping is DETERMINISTIC here (one print per 50k block, no adaptive
+    fetch), so the APF comparison is STRICT — closing the 'modulo blank
+    lines' carve-out the -b 1 difftests need (src/mapper.cpp:883-1009).
+
+    Reference quirk documented by the last assert: its -b 0 SAM output is
+    header-only — printAlignSamBam never fills the records (the
+    fillBamRecords call is commented out, src/f_io.cpp:627-634), so the
+    batch path's SAM writer emits no alignment lines. Our -b 0 SAM stays
+    functional (superset, like -r), validated by the serial-path tests."""
+    import subprocess
+
+    rng = np.random.default_rng(seed)
+    genomes = [rng.integers(0, 4, 150000).astype(np.uint8) for _ in range(2)]
+    genome_fa = str(tmp_path / "g.fa")
+    reads_fa = str(tmp_path / "r.fa")
+    seqio.write_fasta(genome_fa, ["chrA x", "chrB y"], genomes)
+    reads = DT.simulate(rng, genomes, 32)
+    seqio.write_fasta(reads_fa, [f"read{i} sim" for i in range(len(reads))], reads)
+    subprocess.run(
+        [os.path.abspath(DT.REF_BIN), "filter", "r.fa", "g.fa", "-t",
+         str(threads), "-g", str(gap_len), "-b", "0", "-ot", "3"],
+        check=True, capture_output=True, cwd=str(tmp_path))
+    ref_apf = str(tmp_path / "r.apf")  # -b 0 names outputs from the read file
+    ref_sam = str(tmp_path / "r.sam")
+
+    from linear_tpu.map.mapper import Mapper, MapperConfig
+
+    m = Mapper([genome_fa], MapperConfig(gap_len=gap_len, threads=threads,
+                                         bal_flag=0))
+    m.prepare()
+    my_apf = []
+    for block in seqio.read_blocks(reads_fa):
+        cs, ce, sam = m.map_block(block)
+        my_apf.append(m.apf_block(cs, block))
+    assert open(ref_apf).read() == "".join(my_apf)  # STRICT, blank lines incl.
+    assert all(l.startswith("@") for l in open(ref_sam).read().splitlines())
+
+
+@needs_ref
 @pytest.mark.parametrize("corpus,seed,gap_len,threads", [
     ("uniform", 11, 0, 1), ("uniform", 11, 50, 1), ("uniform", 11, 50, 2),
     ("repeat", 20260821, 0, 1), ("repeat", 20260821, 50, 1),
