@@ -209,7 +209,7 @@ def main():
                 tc = time.time()
                 n = 0
                 for br in pipe.run(w_fa, collect_cords=False):
-                    n += len(br.block.seqs)
+                    n += br.n
                 rates[dev] = n / (time.time() - tc)
             except Exception as e:  # device unusable: calibrate host-only
                 print(f"calibration[{dev}] failed: {e}", file=sys.stderr)
@@ -232,7 +232,7 @@ def main():
             f.write(mapper.sam_header())
             for br in pipe.run(r_fa, collect_cords=False):
                 f.write(br.sam)
-                n += len(br.block.seqs)
+                n += br.n
         return n, time.time() - t1
 
     n, t_map = timed_run(mapper, pipe)

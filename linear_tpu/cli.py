@@ -170,7 +170,7 @@ def run_filter(args) -> int:
                 of_sam.write(mapper.sam_header())
         t1 = time.time()
 
-        def emit(block, cs, ce, sam, bl):
+        def emit(block, cs, ce, sam, bl, n=None):
             nonlocal n_done
             if f_bam or f_pbsv:
                 bam_lines.extend(bl)
@@ -178,7 +178,7 @@ def run_filter(args) -> int:
                 of_sam.write(sam)
             if of_apf:
                 of_apf.write(mapper.apf_block(cs, block))
-            n_done += len(block)
+            n_done += len(block) if n is None else n
             el = time.time() - t1
             print(f"  Processed:{n_done}  time:{el:.2f}[s]  "
                   f"speed:{n_done / max(el, 1e-9):.2f}[reads/s]", file=sys.stderr)
@@ -186,7 +186,8 @@ def run_filter(args) -> int:
         if pipeline is not None:
             for br in pipeline.run(rpath, collect_bam=bool(f_bam or f_pbsv),
                                    collect_cords=bool(f_apf)):
-                emit(br.block, br.cords_str, br.cords_end, br.sam, br.bam_lines)
+                emit(br.block, br.cords_str, br.cords_end, br.sam,
+                     br.bam_lines, n=br.n)
         else:
             for block in seqio.read_blocks(rpath):
                 if f_bam or f_pbsv:

@@ -40,6 +40,25 @@ def _init_worker(mapper):
     _WORKER_MAPPER = mapper
 
 
+_RANGE_FH: dict = {}  # per-worker open file handles for range tasks
+
+
+def _task_reads(reads, rids):
+    """Materialize a task's reads: either the pickled (seqs, ids) pair or
+    a ("range", path, b0, b1, n) byte-range spec the worker re-reads
+    directly from the source file (drops the dominant task-IPC payload;
+    parse is byte-identical to the feeder's, tests/test_native_io.py)."""
+    if not (isinstance(reads, tuple) and reads and reads[0] == "range"):
+        return reads, rids
+    _, path, b0, b1, _n = reads
+    fh = _RANGE_FH.get(path)
+    if fh is None:
+        fh = open(path, "rb")
+        _RANGE_FH[path] = fh
+    ids, seqs = seqio.parse_records_range(path, b0, b1, fh=fh)
+    return seqs, ids
+
+
 def _map_chunk(task):
     """Worker: full residual for a CHUNK of reads (lockstep-batched window
     sweeps across the chunk) -> list of (cords_str, cords_end, sam, bam).
@@ -50,6 +69,7 @@ def _map_chunk(task):
     from ..map.pmpfinder import run_lockstep
 
     reads, rids, seeds, chain_raws, collect_bam, collect_cords, persist = task
+    reads, rids = _task_reads(reads, rids)
     m = _WORKER_MAPPER
     # State model (see Mapper.gap_parms): the reference's GapParms/PMPParms
     # are per COMPUTE THREAD and persist across tasks, blocks AND input
@@ -100,6 +120,11 @@ class BlockResult:
     cords_end: List[List[int]]
     sam: str
     bam_lines: List
+    n_reads: int = 0  # read count (block may be an unparsed placeholder)
+
+    @property
+    def n(self) -> int:
+        return self.n_reads or len(self.block.seqs)
 
 
 class PipeCounters:
@@ -276,8 +301,27 @@ class PipelineMapper:
 
             emitted = 0  # reads handed to the pool so far (all blocks)
             try:
-                for block in seqio.read_blocks(read_path):
-                    n = len(block.seqs)
+                # byte offsets let workers re-read their chunk from the
+                # file instead of receiving the reads pickled (None for
+                # gzipped input -> fall back to pickling)
+                offs = seqio.scan_record_offsets(read_path)
+                # SAM-only host runs never need the reads materialized in
+                # THIS process at all: blocks become offset ranges and the
+                # feeder skips the fasta parse entirely (APF/device paths
+                # still parse)
+                need_parse = (collect_cords or m.device == "tpu"
+                              or offs is None)
+
+                def blocks_iter():
+                    if need_parse:
+                        for b in seqio.read_blocks(read_path):
+                            yield b, len(b.seqs)
+                    else:
+                        for s0 in range(0, len(offs) - 1, 50000):
+                            yield seqio.SeqSet(), min(50000, len(offs) - 1 - s0)
+
+                g0 = 0  # global record index of the current block start
+                for block, n in blocks_iter():
                     c.fetched += n
                     csize = max(1, -(-n // (4 * self.csize_workers)))
                     spans = [(i, min(i + csize, n)) for i in range(0, n, csize)]
@@ -287,7 +331,15 @@ class PipelineMapper:
                     def emit(ti, seeds, chain_raw):
                         nonlocal emitted
                         i, j = spans[ti]
-                        q.put((block.seqs[i:j], block.ids[i:j], seeds[i:j],
+                        if offs is not None:
+                            payload = ("range", read_path,
+                                       int(offs[g0 + i]), int(offs[g0 + j]),
+                                       j - i)
+                            rid_payload = None
+                        else:
+                            payload = block.seqs[i:j]
+                            rid_payload = block.ids[i:j]
+                        q.put((payload, rid_payload, seeds[i:j],
                                chain_raw[i:j], collect_bam, collect_cords,
                                persist))
                         emitted += j - i
@@ -339,7 +391,8 @@ class PipelineMapper:
                         none = [None] * n
                         for ti in range(len(spans)):
                             emit(ti, none, none)
-                    q.put((END_BLOCK, block, len(spans)))
+                    q.put((END_BLOCK, block, len(spans), n))
+                    g0 += n
                 q.put(None)
             except BaseException as e:  # surface in main thread
                 q.put(e)
@@ -361,7 +414,7 @@ class PipelineMapper:
             if isinstance(item, BaseException):
                 raise item
             if isinstance(item, tuple) and item and item[0] is END_BLOCK:
-                _, block, n_tasks = item
+                _, block, n_tasks, n_reads = item
                 results = [r for ar in pending for r in ar.get()]
                 pending = []
                 cs = [r[0] for r in results]
@@ -370,10 +423,12 @@ class PipelineMapper:
                 bam: List = []
                 for r in results:
                     bam.extend(r[3])
-                c.emitted += len(block.seqs)
-                yield BlockResult(block, cs, ce, sam, bam)
+                c.emitted += n_reads
+                yield BlockResult(block, cs, ce, sam, bam, n_reads=n_reads)
                 continue
-            n_task_reads = len(item[0])
+            p0 = item[0]
+            n_task_reads = (p0[4] if isinstance(p0, tuple) and p0
+                            and p0[0] == "range" else len(p0))
             pending.append(pool.apply_async(
                 _map_chunk, (item,),
                 callback=lambda res, k=n_task_reads: setattr(

@@ -190,6 +190,96 @@ def read_blocks(path: str, block_size: int = 50000) -> Iterator[SeqSet]:
         yield block
 
 
+def scan_record_offsets(path: str):
+    """Byte offsets of every record start in an UNCOMPRESSED fasta/fastq
+    file (plus the file size as a final sentinel), or None for gzipped /
+    unrecognized input. Lets pipeline workers re-read their chunk of
+    reads directly from the file instead of receiving pickled arrays
+    over the pool pipe (the read payload dominates task IPC)."""
+    with open(path, "rb") as fh:
+        magic = fh.read(2)
+        if magic[:2] == b"\x1f\x8b" or not magic:
+            return None
+        fh.seek(0, 2)
+        size = fh.tell()
+        fh.seek(0)
+        data = fh.read()
+    if magic[0:1] == b">":
+        offs = [0]
+        pos = 0
+        while True:
+            pos = data.find(b"\n>", pos)
+            if pos < 0:
+                break
+            offs.append(pos + 1)
+            pos += 2
+        offs.append(size)
+        return np.asarray(offs, dtype=np.int64)
+    if magic[0:1] == b"@":
+        # fastq: every 4th line starts a record
+        nl = np.flatnonzero(np.frombuffer(data, dtype=np.uint8) == 10)
+        starts = nl[3::4] + 1
+        offs = np.concatenate([[0], starts[starts < size]])
+        if offs[-1] != size:
+            offs = np.concatenate([offs, [size]])
+        return offs.astype(np.int64)
+    return None
+
+
+def parse_records_range(path: str, b0: int, b1: int, fh=None):
+    """Parse the records in byte range [b0, b1) of an uncompressed
+    fasta/fastq file (range bounds from scan_record_offsets). Returns
+    (ids, seqs) byte-identical to read_seq_records over those records."""
+    import io as _io
+
+    close = False
+    if fh is None:
+        fh = open(path, "rb")
+        close = True
+    try:
+        fh.seek(b0)
+        data = fh.read(b1 - b0)
+    finally:
+        if close:
+            fh.close()
+    ids: List[str] = []
+    seqs: List[np.ndarray] = []
+    bio = _io.BytesIO(data)
+    first = bio.read(1)
+    if first == b">":
+        header = bio.readline().strip()
+        chunks: List[bytes] = []
+        for raw in bio:
+            line = raw.strip()
+            if line.startswith(b">"):
+                ids.append(_meta_id(header))
+                seqs.append(encode(b"".join(chunks)))
+                header = line[1:]
+                chunks = []
+            elif line:
+                chunks.append(line)
+        ids.append(_meta_id(header))
+        seqs.append(encode(b"".join(chunks)))
+    elif first == b"@":
+        header = bio.readline().strip()
+        while True:
+            seq = bio.readline().strip()
+            plus = bio.readline()
+            qual = bio.readline()
+            if not qual and not seq:
+                break
+            ids.append(_meta_id(header))
+            seqs.append(encode(seq))
+            nxt = bio.readline()
+            if not nxt:
+                break
+            if not nxt.startswith(b"@"):
+                raise ValueError(f"malformed fastq near {nxt[:40]!r}")
+            header = nxt[1:].strip()
+            del plus
+    return ids, seqs
+
+
 def write_fasta(path: str, ids: List[str], seqs: List[np.ndarray], width: int = 80) -> None:
     with open(path, "w") as fh:
         for rid, s in zip(ids, seqs):

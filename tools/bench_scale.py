@@ -72,7 +72,7 @@ for size in [int(x) for x in args.sizes.split(",")]:
     n = 0
     t0 = time.time()
     for br in pipe.run(r_fa, collect_cords=False):
-        n += len(br.block.seqs)
+        n += br.n
     t_map = time.time() - t0
     pipe.close()
     print(f"{size/1e6:>8.1f}M {t_load:>7.2f} {t_feat:>7.2f} {t_di:>9.2f} "
