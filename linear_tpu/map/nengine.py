@@ -176,8 +176,9 @@ def build_hindex_native(seqs: List[np.ndarray], span: int, step: int,
             C.c_int, C.c_int64, C.c_int64, C.c_double, C.c_int64]
         lib.le_hindex_sizes.restype = None
         lib.le_hindex_sizes.argtypes = [C.c_void_p, C.POINTER(C.c_int64)]
-        lib.le_hindex_fetch.restype = None
-        lib.le_hindex_fetch.argtypes = [C.c_void_p] + [C.c_void_p] * 4
+        lib.le_hindex_ptrs.restype = None
+        lib.le_hindex_ptrs.argtypes = [C.c_void_p, C.POINTER(C.c_void_p),
+                                       C.c_void_p]
         lib.le_hindex_build_free.restype = None
         lib.le_hindex_build_free.argtypes = [C.c_void_p]
         lib._hb_configured = True
@@ -189,18 +190,43 @@ def build_hindex_native(seqs: List[np.ndarray], span: int, step: int,
                             alpha, threads)
     sizes = (C.c_int64 * 3)()
     lib.le_hindex_sizes(h, sizes)
-    ysa = np.empty(sizes[0], dtype=np.uint64)
-    v1 = np.empty(sizes[1], dtype=np.uint64)
-    v2 = np.empty(sizes[1], dtype=np.int64)
+    # zero-copy: numpy views over the build's own buffers; the handle is
+    # freed when the index is garbage-collected (at 1 Gb the old
+    # fetch-memcpy cost ~35 s of copy + fresh-page faults)
+    ptrs = (C.c_void_p * 3)()
     mask = np.zeros(1, dtype=np.uint64)
-    lib.le_hindex_fetch(h, ysa.ctypes.data, v1.ctypes.data, v2.ctypes.data,
-                        mask.ctypes.data)
-    lib.le_hindex_build_free(h)
+    lib.le_hindex_ptrs(h, ptrs, mask.ctypes.data)
+
+    def view(ptr, count, dtype):
+        if count == 0:
+            return np.zeros(0, dtype=dtype)
+        buf = (C.c_char * (count * 8)).from_address(ptr)
+        return np.frombuffer(buf, dtype=dtype)
+
+    ysa = view(ptrs[0], sizes[0], np.uint64)
+    v1 = view(ptrs[1], sizes[1], np.uint64)
+    v2 = view(ptrs[2], sizes[1], np.int64)
     from ..index.hindex import HIndex
 
-    return HIndex(span=span, weight=span - 8, ysa=ysa, xs_val1=v1,
-                  xs_val2=v2, xs_mask=int(mask[0]),
-                  empty_dir=int(sizes[2]))
+    idx = HIndex(span=span, weight=span - 8, ysa=ysa, xs_val1=v1,
+                 xs_val2=v2, xs_mask=int(mask[0]),
+                 empty_dir=int(sizes[2]))
+    idx._native_keepalive = _BuildHandle(lib, h)
+    return idx
+
+
+class _BuildHandle:
+    """Frees a native build's buffers when the wrapping index dies."""
+
+    def __init__(self, lib, h):
+        self._lib = lib
+        self._h = h
+
+    def __del__(self):
+        try:
+            self._lib.le_hindex_build_free(self._h)
+        except Exception:
+            pass
 
 
 def enabled() -> bool:

@@ -17,6 +17,7 @@
 
 #include <algorithm>
 #include <functional>
+#include <sys/mman.h>
 #ifdef _OPENMP
 #include <omp.h>
 #include <parallel/algorithm>
@@ -26,11 +27,41 @@ namespace le {
 
 struct HIndexBuild {
     std::vector<u64> ysa;
-    std::vector<u64> v1;
-    std::vector<i64> v2;
+    // calloc'd: for multi-GB tables calloc maps FRESH ZERO pages without
+    // touching them (an explicit zero pass measured 18.5 s at 1 Gb on
+    // this host — page-fault bound); only slots the fill writes ever
+    // fault in, empty slots read from the shared zero page
+    u64* v1 = nullptr;
+    i64* v2 = nullptr;
+    i64 nv = 0;
     u64 mask = 0;
     i64 empty_dir = 0;
+    ~HIndexBuild() {
+        std::free(v1);
+        std::free(v2);
+    }
 };
+
+// kernel-speed page population (MADV_POPULATE_WRITE, Linux 5.14+);
+// falls back to a first-touch loop. Handles unaligned starts (glibc's
+// mmap'd chunks are offset by the malloc header).
+static inline void hb_populate(char* p, i64 bytes) {
+    if (bytes <= 0) return;
+#ifdef MADV_POPULATE_WRITE
+    uintptr_t a0 = ((uintptr_t)p + 4095) & ~(uintptr_t)4095;
+    uintptr_t a1 = ((uintptr_t)p + (uintptr_t)bytes) & ~(uintptr_t)4095;
+    if (a1 > a0 &&
+        madvise((void*)a0, (size_t)(a1 - a0), MADV_POPULATE_WRITE) == 0) {
+        volatile char* q = p;
+        q[0] = 0;                  // unaligned head page (zero memory)
+        q[bytes - 1] = 0;          // unaligned tail page
+        return;
+    }
+#endif
+    volatile char* q = p;
+    for (i64 i = 0; i < bytes; i += 4096) q[i] = 0;
+    q[bytes - 1] = 0;
+}
 
 static const u64 HB_BIT63 = 1ull << 63;
 static const u64 HB_STRAND = 1ull << 40;
@@ -47,18 +78,25 @@ static inline u64 hb_make_body(u64 yval, u64 gid, u64 pos, int strand) {
 }
 static inline u64 hb_body_y(u64 v) { return (v >> 41) & HB_MASK20; }
 
-// hashNext (src/shape_extend.cpp:132-168): rolls h/crh/x AND computes
-// XValue/strand plus the FULL remainder-encoded YValue (used by the build
-// stream; nextx's 4-adjacent-bases YValue is the query-side variant)
-static inline void hb_next_full(HashStream& st, const u8* seq, i64 it) {
-    int s = st.span, w = st.weight;
-    int span2 = 2 * s, weight2 = 2 * w;
+// hashNext (src/shape_extend.cpp:132-168) split in two: the per-position
+// state roll (h/crh/x) and the minimizer X/Y extraction. The extraction
+// is a pure function of the rolled state, so the build scan runs it only
+// at sampled positions (every `step`-th) plus the chunk's final position
+// (whose XValue the flush quirk stamps) — ~8x less minimizer math than
+// extracting every position, with identical emissions.
+static inline void hb_roll(HashStream& st, const u8* seq, i64 it) {
+    int s = st.span;
+    int span2 = 2 * s;
     u64 mask = (1ull << (span2 - 2)) - 1;
     u64 v2 = seq[it + s - 1];
     st.h = ((st.h & mask) << 2) + v2;
     st.crh = ((st.crh >> 2) & mask) + ((3 - v2) << (span2 - 2));
     st.x += ((i64)v2 - (i64)st.left) << 1;
     st.left = seq[it];
+}
+
+static inline void hb_extract_xy(HashStream& st) {
+    int span2 = 2 * st.span, weight2 = 2 * st.weight;
     u64 v = (st.x > 0) ? st.h : st.crh;
     st.strand = (st.x > 0) ? 0 : 1;
     u64 xv = (1ull << span2) - 1;
@@ -73,6 +111,11 @@ static inline void hb_next_full(HashStream& st, const u8* seq, i64 it) {
               + ((u64)t << (span2 - weight2 - 1));
 }
 
+static inline void hb_next_full(HashStream& st, const u8* seq, i64 it) {
+    hb_roll(st, seq, it);
+    hb_extract_xy(st);
+}
+
 // one thread chunk of __createHsArray (exact port of hindex.py
 // _chunk_blocks_scalar, :761-794 incl. the N-jump quirk)
 static inline void hb_chunk(const u8* seq, i64 n, i64 start, i64 csize,
@@ -82,10 +125,16 @@ static inline void hb_chunk(const u8* seq, i64 n, i64 start, i64 csize,
     if (st.init(seq, n, start) < 0) return;
     i64 pre_x = -1;
     u64 last_xval = 0;
+    bool dirty = false;  // state rolled since the last X/Y extraction
     i64 k = start;
     i64 end = start + csize;
     while (k < end) {
         if (k + span - 1 < n && seq[k + span - 1] == 4) {
+            if (dirty) {  // capture the pre-init position's XValue
+                hb_extract_xy(st);
+                last_xval = st.xval;
+                dirty = false;
+            }
             i64 skip = st.init(seq, n, k);
             if (skip < 0) break;
             k += skip;
@@ -93,16 +142,26 @@ static inline void hb_chunk(const u8* seq, i64 n, i64 start, i64 csize,
                 k = csize - (csize + start) % step + step + start;
         }
         if (k + span - 1 >= n) break;
-        hb_next_full(st, seq, k);
-        last_xval = st.xval;
-        if (k % step == 0 && (i64)st.xval != pre_x) {
-            if (!out.empty())
-                out[out.size() - 2] = hb_make_head(2, (u64)pre_x);
-            out.push_back(hb_make_head(2, pre_x >= 0 ? (u64)pre_x : 0));
-            out.push_back(hb_make_body(st.yval, gid, k, st.strand));
-            pre_x = (i64)st.xval;
+        hb_roll(st, seq, k);
+        bool rolled_dirty = true;
+        if (k % step == 0) {
+            hb_extract_xy(st);
+            rolled_dirty = false;
+            last_xval = st.xval;
+            if ((i64)st.xval != pre_x) {
+                if (!out.empty())
+                    out[out.size() - 2] = hb_make_head(2, (u64)pre_x);
+                out.push_back(hb_make_head(2, pre_x >= 0 ? (u64)pre_x : 0));
+                out.push_back(hb_make_body(st.yval, gid, k, st.strand));
+                pre_x = (i64)st.xval;
+            }
         }
+        dirty = rolled_dirty;
         k++;
+    }
+    if (dirty) {  // flush stamps the LAST position's XValue (quirk)
+        hb_extract_xy(st);
+        last_xval = st.xval;
     }
     if (!out.empty()) out[out.size() - 2] = hb_make_head(2, last_xval);
 }
@@ -110,32 +169,83 @@ static inline void hb_chunk(const u8* seq, i64 n, i64 start, i64 csize,
 // _hsSortX_1 + _createYSA + XString fill (hindex.py _finalize)
 static inline void hb_finalize(std::vector<u64>& hs, int weight,
                                i64 blocklimit, double alpha, HIndexBuild& b) {
+    double t0_ = omp_get_wtime();
+    const bool timing_ = getenv("LE_TIMING") != nullptr;
+    auto lap_ = [&](const char* name) {
+        if (!timing_) return;
+        double t = omp_get_wtime();
+        fprintf(stderr, "[hb_finalize] %-10s %7.1f ms\n", name, (t - t0_) * 1e3);
+        t0_ = t;
+    };
     i64 n = (i64)hs.size() / 2;
     if (n == 0) {
         b.ysa.assign(2, 0);
-        b.v1.assign(2, 0);
-        b.v2.assign(2, 0);
+        b.v1 = (u64*)std::calloc(2, sizeof(u64));
+        b.v2 = (i64*)std::calloc(2, sizeof(i64));
+        b.nv = 2;
         b.mask = 1;
         b.empty_dir = 0;
         return;
     }
-    // stable sort node pairs by the low 2*weight bits of the head xval.
-    // Encoded as (key << 46) | index: the composite u64s are DISTINCT
-    // (index is unique), so an unstable sort of them reproduces the
-    // stable order exactly — and sorts plain u64s instead of chasing a
-    // comparator through the hs array (2*weight = 18 bits for the 17-mer
-    // HIndex; n < 2^46 always)
+    // stable sort of the node pairs by the low 2*weight bits of the head
+    // xval. For the 17-mer HIndex the key is 18 bits, so this is ONE
+    // parallel counting sort (the reference's own choice is a parallel
+    // LSD radix, src/index_util.cpp:432-561): per-thread histograms over
+    // static contiguous chunks, key-major/thread-minor exclusive offsets
+    // (stability = chunk order x in-chunk order = global index order),
+    // then a scatter that writes hx/bodies DIRECTLY — replacing the
+    // comparison sort + gather permute with two streaming passes.
     u64 kmask = (1ull << (2 * weight)) - 1;
-    std::vector<u64> order(n);
-    if (2 * weight <= 18) {
-        for (i64 i = 0; i < n; i++)
-            order[i] = ((hs[2 * i] & kmask) << 46) | (u64)i;
+    std::vector<u64> hx(n), bodies(n);
+    if (2 * weight <= 20) {
+        i64 nkeys = 1ll << (2 * weight);
+        int nt = 1;
 #ifdef _OPENMP
-        __gnu_parallel::sort(order.begin(), order.end());
-#else
-        std::sort(order.begin(), order.end());
+        nt = omp_get_max_threads();
 #endif
+        std::vector<std::vector<i64>> toff((size_t)nt);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+        {
+            int t = 0;
+#ifdef _OPENMP
+            t = omp_get_thread_num();
+#endif
+            toff[t].assign(nkeys, 0);
+            auto& c = toff[t];
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+            for (i64 i = 0; i < n; i++) c[hs[2 * i] & kmask]++;
+        }
+        i64 pos = 0;
+        for (i64 k = 0; k < nkeys; k++)
+            for (int t = 0; t < nt; t++) {
+                i64 cnt = toff[t][k];
+                toff[t][k] = pos;
+                pos += cnt;
+            }
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nt)
+#endif
+        {
+            int t = 0;
+#ifdef _OPENMP
+            t = omp_get_thread_num();
+#endif
+            auto& off = toff[t];
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+            for (i64 i = 0; i < n; i++) {
+                i64 p = off[hs[2 * i] & kmask]++;
+                hx[p] = hs[2 * i] & HB_MASK40;
+                bodies[p] = hs[2 * i + 1];
+            }
+        }
     } else {  // wider keys: comparator-based stable sort (same permutation)
+        std::vector<u64> order(n);
         for (i64 i = 0; i < n; i++) order[i] = (u64)i;
         auto cmp = [&](u64 a, u64 c) {
             return (hs[2 * a] & kmask) < (hs[2 * c] & kmask);
@@ -145,14 +255,13 @@ static inline void hb_finalize(std::vector<u64>& hs, int weight,
 #else
         std::stable_sort(order.begin(), order.end(), cmp);
 #endif
+        for (i64 i = 0; i < n; i++) {
+            i64 o = (i64)order[i];
+            hx[i] = hs[2 * o] & HB_MASK40;
+            bodies[i] = hs[2 * o + 1];
+        }
     }
-    const u64 imask = (2 * weight <= 18) ? ((1ull << 46) - 1) : ~0ull;
-    std::vector<u64> hx(n), bodies(n);
-    for (i64 i = 0; i < n; i++) {
-        i64 o = (i64)(order[i] & imask);
-        hx[i] = hs[2 * o] & HB_MASK40;
-        bodies[i] = hs[2 * o + 1];
-    }
+    lap_("ksort");
     // group consecutive equal xvals
     std::vector<i64> grp_start;  // index into bodies
     for (i64 i = 0; i < n; i++)
@@ -170,19 +279,49 @@ static inline void hb_finalize(std::vector<u64>& hs, int weight,
             pos += grp_start[g + 1] - grp_start[g] + 1;
         }
     }
+    i64 fill_grps_pre = (abort_last && n_grp >= 1) ? n_grp - 1 : n_grp;
     // per-group descending body sorts are independent (bodies are distinct
-    // u64s, so the comparator admits exactly one sorted order)
-#pragma omp parallel for schedule(dynamic, 1024)
+    // u64s, so the comparator admits exactly one sorted order). Genomic
+    // repeat families make a few GIANT groups (rDNA/IS arrays) that would
+    // serialize a per-group loop — those sort with the parallel sort
+    // afterwards; the small-group y-field zeroing of the XString fill
+    // (only bits 41-60, read by nothing before the fill) is folded in
+    // here while the cache lines are hot.
+    const i64 HB_BIG = 1 << 16;
+#pragma omp parallel for schedule(dynamic, 512)
     for (i64 g = 0; g < n_grp; g++) {
         i64 s0 = grp_start[g], s1 = grp_start[g + 1];
         i64 sz = s1 - s0;
         i64 pos = grp_head_pos[g];
         b.ysa[pos] = hb_make_head((u64)(sz + 1), hx[s0]);
-        if (!(abort_last && g == n_grp - 1))
-            std::sort(bodies.begin() + s0, bodies.begin() + s1,
-                      std::greater<u64>());
+        if (abort_last && g == n_grp - 1) {
+            for (i64 j = 0; j < sz; j++) b.ysa[pos + 1 + j] = bodies[s0 + j];
+            continue;
+        }
+        if (sz >= HB_BIG) continue;  // giant groups handled below
+        std::sort(bodies.begin() + s0, bodies.begin() + s1,
+                  std::greater<u64>());
+        if (sz + 1 < blocklimit && g < fill_grps_pre)
+            for (i64 j = 0; j < sz; j++)
+                b.ysa[pos + 1 + j] = bodies[s0 + j] & ~HB_YFIELD;
+        else
+            for (i64 j = 0; j < sz; j++) b.ysa[pos + 1 + j] = bodies[s0 + j];
+    }
+    for (i64 g = 0; g < n_grp; g++) {
+        i64 s0 = grp_start[g], s1 = grp_start[g + 1];
+        i64 sz = s1 - s0;
+        if (sz < HB_BIG || (abort_last && g == n_grp - 1)) continue;
+        i64 pos = grp_head_pos[g];
+#ifdef _OPENMP
+        __gnu_parallel::sort(bodies.begin() + s0, bodies.begin() + s1,
+                             std::greater<u64>());
+#else
+        std::sort(bodies.begin() + s0, bodies.begin() + s1,
+                  std::greater<u64>());
+#endif
         for (i64 j = 0; j < sz; j++) b.ysa[pos + 1 + j] = bodies[s0 + j];
     }
+    lap_("bodysort");
     i64 fill_grps;
     if (abort_last && n_grp >= 1) {
         b.empty_dir = grp_head_pos[n_grp - 1];
@@ -210,11 +349,28 @@ static inline void hb_finalize(std::vector<u64>& hs, int weight,
             count++;
         }
     }
+    lap_("sizing");
     u64 size = 1;
     while ((double)size < count * alpha) size <<= 1;
     b.mask = size - 1;
-    b.v1.assign(size, 0);
-    b.v2.assign(size, 0);
+    // parallel first-touch zeroing: vector::assign's serial memset pays a
+    // single-core page-fault storm for the multi-GB table (43 s measured
+    // at 1 Gb on this host); resize + omp-static zero spreads the faults
+    b.v1 = (u64*)std::calloc(size, sizeof(u64));
+    b.v2 = (i64*)std::calloc(size, sizeof(i64));
+    b.nv = (i64)size;
+    // parallel pre-fault: calloc's pages are zero but unmapped; the serial
+    // fill would otherwise eat the fault storm one page at a time
+    // (measured 6.2 GB/s populate vs 1.9 GB/s serial touch on this host)
+#pragma omp parallel for schedule(static)
+    for (int h = 0; h < 16; h++) {
+        i64 chunk = (i64)(size * sizeof(u64) + 15) / 16;
+        hb_populate((char*)b.v1 + h * chunk,
+                    std::min(chunk, (i64)(size * sizeof(u64)) - h * chunk));
+        hb_populate((char*)b.v2 + h * chunk,
+                    std::min(chunk, (i64)(size * sizeof(i64)) - h * chunk));
+    }
+    lap_("xpopulate");
     auto insert = [&](u64 key, i64 val2, u64 node_type) {
         u64 h1 = wang_hash64(key) & b.mask;
         u64 delta = 0;
@@ -225,13 +381,13 @@ static inline void hb_finalize(std::vector<u64>& hs, int weight,
         b.v1[h1] = (key << 2) + node_type;
         b.v2[h1] = val2;
     };
+    lap_("xalloc");
     for (i64 g = 0; g < fill_grps; g++) {
         i64 sz = grp_start[g + 1] - grp_start[g];
         i64 p = grp_head_pos[g];
         u64 xval = hx[grp_start[g]];
         if (sz + 1 < blocklimit) {
-            // zero the bodies' y-field (bits 41-60 only; overflow bits stay)
-            for (i64 j = p + 1; j < p + 1 + sz; j++) b.ysa[j] &= ~HB_YFIELD;
+            // bodies' y-field already zeroed in the bodysort loop
             insert(xval, p + 1, 1);
         } else {
             insert(xval, (i64)((~1u) & 0xFFFFFFFFu), 3);  // virtual head

@@ -549,6 +549,15 @@ void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
 void* le_build_hindex(const u8** genome_ptrs, const i64* genome_lens,
                       i64 n_genomes, int span, i64 step, i64 blocklimit,
                       double alpha, i64 threads) {
+    double t0 = omp_get_wtime();
+    const bool timing = getenv("LE_TIMING") != nullptr;
+    auto lap = [&](const char* name) {
+        if (!timing) return;
+        double t = omp_get_wtime();
+        fprintf(stderr, "[le_build_hindex] %-10s %7.1f ms\n", name,
+                (t - t0) * 1e3);
+        t0 = t;
+    };
     int weight = span - 8;
     struct Chunk { i64 gid, start, csize; };
     std::vector<Chunk> chunks;
@@ -572,20 +581,27 @@ void* le_build_hindex(const u8** genome_ptrs, const i64* genome_lens,
         hb_chunk(genome_ptrs[ck.gid], genome_lens[ck.gid], ck.start,
                  ck.csize, span, weight, step, ck.gid, parts[c]);
     }
+    lap("scan");
     std::vector<u64> hs;
     size_t total = 0;
     for (auto& p : parts) total += p.size();
     hs.reserve(total);
-    for (auto& p : parts) hs.insert(hs.end(), p.begin(), p.end());
+    for (auto& p : parts) {
+        hs.insert(hs.end(), p.begin(), p.end());
+        p.clear();
+        p.shrink_to_fit();
+    }
+    lap("concat");
     HIndexBuild* b = new HIndexBuild();
     hb_finalize(hs, weight, blocklimit, alpha, *b);
+    lap("finalize");
     return b;
 }
 
 void le_hindex_sizes(void* bp, i64* out3) {
     HIndexBuild* b = (HIndexBuild*)bp;
     out3[0] = (i64)b->ysa.size();
-    out3[1] = (i64)b->v1.size();
+    out3[1] = b->nv;
     out3[2] = b->empty_dir;
 }
 
@@ -593,8 +609,19 @@ void le_hindex_fetch(void* bp, u64* ysa_out, u64* v1_out, i64* v2_out,
                      u64* mask_out) {
     HIndexBuild* b = (HIndexBuild*)bp;
     std::memcpy(ysa_out, b->ysa.data(), b->ysa.size() * sizeof(u64));
-    std::memcpy(v1_out, b->v1.data(), b->v1.size() * sizeof(u64));
-    std::memcpy(v2_out, b->v2.data(), b->v2.size() * sizeof(i64));
+    std::memcpy(v1_out, b->v1, b->nv * sizeof(u64));
+    std::memcpy(v2_out, b->v2, b->nv * sizeof(i64));
+    *mask_out = b->mask;
+}
+
+// zero-copy variant: the caller wraps these pointers in numpy views and
+// keeps the build handle alive for the index's lifetime (at 1 Gb the
+// fetch memcpy + fresh-page faults cost ~35 s on this host)
+void le_hindex_ptrs(void* bp, void** out3, u64* mask_out) {
+    HIndexBuild* b = (HIndexBuild*)bp;
+    out3[0] = (void*)b->ysa.data();
+    out3[1] = (void*)b->v1;
+    out3[2] = (void*)b->v2;
     *mask_out = b->mask;
 }
 
