@@ -182,6 +182,54 @@ def make_grid_mesh(n_dp: int, n_ix: int, devices=None) -> Mesh:
     return Mesh(arr, ("dp", "ix"))
 
 
+def grid_seed_anchors(mesh: Mesh, seqs, lens, dir_sh, hs_lo_sh, hs_hi_sh,
+                      x_base, cap: int,
+                      span: int = 21, weight: int = 13, thd_alpha: int = 15):
+    """The seed+merge phase of grid_mapping_step alone: returns the
+    (B, n_samples, cap) anchor grid + keep mask in EMISSION-SLOT order
+    (position-major, bucket-entry order) — the exact per-read host seed
+    list is anc[b].reshape(-1)[keep[b].reshape(-1)]. Used by the
+    end-to-end 2-process run (tools/e2e_multiproc.py), whose residual
+    pipeline consumes the seeds in host emission order."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.seeding import (_closed_form_states, _minimizer_xy_batch,
+                               _probe_and_anchor)
+
+    B, L = seqs.shape
+    n_dp = mesh.shape["dp"]
+    Bs = B // n_dp
+
+    def shard_fn(seqs, lens, dir_s, lo_s, hi_s, xb):
+        dir_s, lo_s, hi_s, xb = dir_s[0], lo_s[0], hi_s[0], xb[0]
+        first = span + thd_alpha - 1
+        ks = jnp.arange(first, L, thd_alpha, dtype=jnp.int64)
+        kmat = jnp.broadcast_to(ks[None, :], (Bs, ks.shape[0]))
+        in_range = kmat < (lens[:, None] - span)
+        n_mix = int(np.sum(np.arange(first, L, thd_alpha) < 2 * span - 1))
+        h, crh, x = _closed_form_states(seqs, kmat, span, n_mix=n_mix)
+        xval, yval, strand = _minimizer_xy_batch(seqs, kmat, h, crh, x, span, weight)
+        anc, keep = _probe_and_anchor(kmat, lens, xval, yval, strand,
+                                      dir_s, lo_s, hi_s, cap, in_range,
+                                      x_base=xb[0], x_hi=xb[1])
+        anc = jax.lax.psum(jnp.where(keep, anc, 0), "ix")
+        keep = jax.lax.psum(keep.astype(jnp.int32), "ix") > 0
+        return anc, keep
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("dp", None), P("dp"), P("ix", None), P("ix", None),
+                  P("ix", None), P("ix", None)),
+        out_specs=(P("dp", None, None), P("dp", None, None)),
+    )
+    dp2 = NamedSharding(mesh, P("dp", None))
+    dp1 = NamedSharding(mesh, P("dp"))
+    ix2 = NamedSharding(mesh, P("ix", None))
+    return fn(gput(seqs, dp2), gput(lens, dp1),
+              gput(dir_sh, ix2), gput(hs_lo_sh, ix2),
+              gput(hs_hi_sh, ix2), gput(x_base, ix2))
+
+
 def grid_mapping_step(mesh: Mesh, seqs, lens, dir_sh, hs_lo_sh, hs_hi_sh,
                       x_base, cap: int, n_max: int = 256,
                       span: int = 21, weight: int = 13, thd_alpha: int = 15):

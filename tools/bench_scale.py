@@ -38,13 +38,20 @@ for size in [int(x) for x in args.sizes.split(",")]:
     g_fa = os.path.join(tmp, f"g{size}.fa")
     r_fa = os.path.join(tmp, f"r{size}.fa")
     if not os.path.exists(g_fa):
-        genome = make_genomic_genome(rng, size)
-        seqio.write_fasta(g_fa, [f"chr{size}"], [genome])
+        # cord x is 30 bits (<=1 Gb per sequence, src/cords.cpp:159-168):
+        # human-scale genomes are multi-chromosome, like the reference's
+        # flagship 24-sequence 2945 Mb run (README.md:84-92)
+        n_chr = max(1, -(-size // 250_000_000))
+        csize = size // n_chr
+        chrs = [make_genomic_genome(rng, csize) for _ in range(n_chr)]
+        seqio.write_fasta(g_fa, [f"chr{i+1}" for i in range(n_chr)], chrs)
+        genome = None
         reads = []
         for i in range(args.reads):
             while True:
-                pos = int(rng.integers(0, size - args.read_len))
-                seg = genome[pos: pos + args.read_len]
+                c = int(rng.integers(0, n_chr))
+                pos = int(rng.integers(0, csize - args.read_len))
+                seg = chrs[c][pos: pos + args.read_len]
                 if (seg == 4).sum() < args.read_len // 2:
                     break
             r = seg.copy()
@@ -68,7 +75,11 @@ for size in [int(x) for x in args.sizes.split(",")]:
                            HI.DEFAULT_BLOCKLIMIT, HI.DEFAULT_ALPHA, 16)
     t_hi = time.time() - t0
     pipe = PipelineMapper(mapper)
-    # warm one small pass (pool spin-up)
+    # warm pass first: pool spin-up + each worker's soft faults over the
+    # (CoW-shared) multi-GB genome/index/feature pages — at 3 Gb the cold
+    # pass alone costs several seconds and misreports the map rate 3-4x
+    for br in pipe.run(r_fa, collect_cords=False):
+        pass
     n = 0
     t0 = time.time()
     for br in pipe.run(r_fa, collect_cords=False):
