@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("-p", "--preset", type=int, default=1,
                    help="effective reference default is 1")
     f.add_argument("-i", "--index_type", type=int, default=1)
+    f.add_argument("-a", "--align", type=int, default=0,
+                   help="1: base-level banded alignment (real =/X/I/D "
+                        "CIGARs). NOTE: the reference accepts no such flag "
+                        "(-a is commented out of its parser, "
+                        "src/args_parser.cpp:214); functional here")
     f.add_argument("-c", "--apx_c_flag", type=int, default=1)
     f.add_argument("-f", "--feature_type", type=int, default=2)
     f.add_argument("-r", "--reform_ccs_cigar_flag", type=int, default=0)
@@ -89,6 +94,7 @@ def run_filter(args) -> int:
         f_dup=args.duplication,
         bal_flag=args.bal_flag,
         feature_t=args.feature_type,
+        aln_flag=args.align,
     )
     if args.device == "tpu":
         # multi-host: jax.distributed from JAX_COORDINATOR_ADDRESS /

@@ -766,10 +766,20 @@ class Mapper:
         (src/mapper.cpp:452-473, f_io.cpp)."""
         from ..out import bam as BAM
 
-        records = BL.cords2bamlink(
-            cords_str, cords_end, len(read),
-            thd_large_X=8000, thd_DI=self.cfg.thd_DI, thd_X=self.cfg.thd_X,
-        )
+        if self.cfg.aln_flag:
+            # -a: base-level banded alignment of the cords windows (real
+            # =/X/I/D CIGARs; map/align.py) instead of the virtual-
+            # alignment rectangles
+            from . import align as AL
+
+            records = AL.align_cords(
+                self.genomes, read, seqio.revcomp(read),
+                cords_str, cords_end, band=100)
+        else:
+            records = BL.cords2bamlink(
+                cords_str, cords_end, len(read),
+                thd_large_X=8000, thd_DI=self.cfg.thd_DI, thd_X=self.cfg.thd_X,
+            )
         if self.cfg.reform_ccs:
             BL.reform_ccs_bams(records)
         BL.fill_bam_records(records, self.genome_ids, rid)

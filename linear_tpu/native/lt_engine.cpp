@@ -524,22 +524,40 @@ void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
         }
     }
     lap("prefix");
-    // pairs are distinct (every sampled position yields a unique cord),
-    // so the parallel unstable sort reproduces std::sort's order exactly
-#ifdef _OPENMP
-    __gnu_parallel::sort(samples.begin(), samples.end());
-#else
-    std::sort(samples.begin(), samples.end());
-#endif
-    lap("sort");
-    b->hs.reserve(samples.size());
+    // bucket the samples with the prefix offsets directly, then sort each
+    // bucket's values — the global (xval, cord) pair sort this replaces
+    // went superlinear past 1 Gb (375M x 16B pairs through a parallel
+    // comparison sort at 3 Gb). Values within a bucket are distinct, so
+    // ascending per-bucket std::sort reproduces the pair sort's order.
+    i64 n_kept = dir_out[full - 1];
+    b->hs.resize((size_t)n_kept);
     b->nz.assign((size_t)(((full - 1) + 63) >> 6), 0);
-    for (auto& s : samples)
-        if (dir_out[s.first + 1] - dir_out[s.first] > 0) {
-            b->hs.push_back(s.second);
-            b->nz[s.first >> 6] |= 1ull << (s.first & 63);
+    {
+        // parallel scatter with atomic bucket cursors: any within-bucket
+        // order is fine (the per-bucket value sort below canonicalizes),
+        // and contention is negligible across 4^13 buckets. nz bit sets
+        // are idempotent; the atomic OR keeps cross-thread updates safe.
+        std::vector<i32> cur(dir_out, dir_out + full - 1);
+        i64 ns = (i64)samples.size();
+#pragma omp parallel for schedule(static)
+        for (i64 i = 0; i < ns; i++) {
+            auto& s = samples[i];
+            if (dir_out[s.first + 1] - dir_out[s.first] > 0) {
+                i32 slot = __atomic_fetch_add(&cur[s.first], 1, __ATOMIC_RELAXED);
+                b->hs[(size_t)slot] = s.second;
+                __atomic_fetch_or(&b->nz[s.first >> 6],
+                                  1ull << (s.first & 63), __ATOMIC_RELAXED);
+            }
         }
-    lap("hs_fill");
+    }
+    lap("scatter");
+#pragma omp parallel for schedule(dynamic, 65536)
+    for (i64 x = 0; x < full - 1; x++) {
+        i32 d0 = dir_out[x], d1 = dir_out[x + 1];
+        if (d1 - d0 > 1)
+            std::sort(b->hs.begin() + d0, b->hs.begin() + d1);
+    }
+    lap("bucketsort");
     return b;
 }
 
