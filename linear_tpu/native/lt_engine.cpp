@@ -645,6 +645,38 @@ void le_hindex_ptrs(void* bp, void** out3, u64* mask_out) {
 
 void le_hindex_build_free(void* bp) { delete (HIndexBuild*)bp; }
 
+// Wire pack for the device seed path (ops/seeding.pack_superchunk):
+// 2-bit LSB-first bases (4/byte) + 8 little-endian length bytes per row;
+// N-containing reads ride zeroed with n_mask set (the numpy per-read
+// loop costs ~34 us/read of dispatch overhead in the feeder thread).
+void le_pack_superchunk(const u8** reads, const i64* lens, i64 n_reads,
+                        i64 rows, i64 pad, u8* wire, u8* n_mask) {
+    i64 rowbytes = pad / 4 + 8;
+    std::memset(wire, 0, (size_t)(rows * rowbytes));
+    std::memset(n_mask, 0, (size_t)rows);
+    for (i64 i = 0; i < n_reads; i++) {
+        const u8* r = reads[i];
+        i64 m = lens[i] < pad ? lens[i] : pad;
+        u8* w = wire + i * rowbytes;
+        bool has_n = false;
+        for (i64 k = 0; k < m; k++)
+            if (r[k] == 4) { has_n = true; break; }
+        if (has_n) {
+            n_mask[i] = 1;  // wire stays zero
+        } else {
+            i64 k = 0;
+            for (; k + 4 <= m; k += 4)
+                w[k >> 2] = (u8)(r[k] | (r[k + 1] << 2) | (r[k + 2] << 4) |
+                                 (r[k + 3] << 6));
+            u8 b = 0;
+            for (i64 j = 0; k + j < m; j++) b |= (u8)(r[k + j] << (2 * j));
+            if (k < m) w[k >> 2] = b;
+        }
+        u64 ml = (u64)m;
+        std::memcpy(w + pad / 4, &ml, 8);
+    }
+}
+
 void le_stage_ns(void* ep, i64* out4) {
     Engine* e = (Engine*)ep;
     for (int k = 0; k < 4; k++) { out4[k] = e->ph_ns[k]; e->ph_ns[k] = 0; }

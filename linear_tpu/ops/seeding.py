@@ -476,7 +476,34 @@ def pack_superchunk(reads: list, pad_len: int, superchunk: int):
     _seed_superchunk_fused). Reads containing N bases are zeroed on the
     wire and flagged in the returned n_mask — the device result for those
     rows is discarded and the caller host-seeds them (the closed-form
-    kernel is exact only for N-free reads). Returns (wire, n_mask)."""
+    kernel is exact only for N-free reads). Returns (wire, n_mask).
+
+    Dispatches to the native packer when available (the numpy per-read
+    loop costs ~34 us/read of dispatch overhead in the feeder thread)."""
+    try:
+        from ..map import nengine as NE
+
+        lib = NE.engine_lib()
+    except Exception:
+        lib = None
+    if lib is not None:
+        import ctypes as C
+
+        if not getattr(lib, "_pk_configured", False):
+            lib.le_pack_superchunk.restype = None
+            lib.le_pack_superchunk.argtypes = [
+                C.POINTER(C.c_void_p), C.POINTER(C.c_int64), C.c_int64,
+                C.c_int64, C.c_int64, C.c_void_p, C.c_void_p]
+            lib._pk_configured = True
+        n = len(reads)
+        pinned = [np.ascontiguousarray(r, dtype=np.uint8) for r in reads]
+        ptrs = (C.c_void_p * max(n, 1))(*[r.ctypes.data for r in pinned])
+        lens = (C.c_int64 * max(n, 1))(*[len(r) for r in pinned])
+        wire = np.empty((superchunk, pad_len // 4 + 8), dtype=np.uint8)
+        n_mask = np.empty((superchunk,), dtype=np.uint8)
+        lib.le_pack_superchunk(ptrs, lens, n, superchunk, pad_len,
+                               wire.ctypes.data, n_mask.ctypes.data)
+        return wire, n_mask.astype(bool)
     seqs = np.zeros((superchunk, pad_len), dtype=np.uint8)
     lens = np.zeros((superchunk,), dtype=np.int64)
     n_mask = np.zeros((superchunk,), dtype=bool)
