@@ -279,6 +279,21 @@ static inline void query_anchors(const DIndexView& ix, const u8* read,
 // total, 2 = map_interval total, 3 = set_anchors+chain inside intervals.
 // Defined in lt_engine.cpp; read via le_gap_stage_ns.
 extern i64 g_gap_ns[4];
+extern i64 g_ct_ns[4];  // create_tiles internals: chains/reext/tiles/spare
+struct CtNsScope {
+    int k;
+    double t0;
+    CtNsScope(int k_) : k(k_) {
+#ifdef _OPENMP
+        t0 = omp_get_wtime();
+#endif
+    }
+    ~CtNsScope() {
+#ifdef _OPENMP
+        g_ct_ns[k] += (i64)((omp_get_wtime() - t0) * 1e9);
+#endif
+    }
+};
 struct GapNsScope {
     int k;
     double t0;
