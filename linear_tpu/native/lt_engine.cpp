@@ -524,9 +524,29 @@ void* le_build_index(const u8** genome_ptrs, const i64* genome_lens,
         }
     }
     lap("prefix");
+    if ((i64)samples.size() < (8 << 20)) {
+        // bacterial/chr scale: the global pair sort is cheaper than
+        // touching the 268 MB cursor table (pairs are distinct, so the
+        // parallel unstable sort reproduces std::sort's order exactly)
+#ifdef _OPENMP
+        __gnu_parallel::sort(samples.begin(), samples.end());
+#else
+        std::sort(samples.begin(), samples.end());
+#endif
+        lap("sort");
+        b->hs.reserve(samples.size());
+        b->nz.assign((size_t)(((full - 1) + 63) >> 6), 0);
+        for (auto& s : samples)
+            if (dir_out[s.first + 1] - dir_out[s.first] > 0) {
+                b->hs.push_back(s.second);
+                b->nz[s.first >> 6] |= 1ull << (s.first & 63);
+            }
+        lap("hs_fill");
+        return b;
+    }
     // bucket the samples with the prefix offsets directly, then sort each
-    // bucket's values — the global (xval, cord) pair sort this replaces
-    // went superlinear past 1 Gb (375M x 16B pairs through a parallel
+    // bucket's values — the global (xval, cord) pair sort above goes
+    // superlinear past 1 Gb (375M x 16B pairs through a parallel
     // comparison sort at 3 Gb). Values within a bucket are distinct, so
     // ascending per-bucket std::sort reproduces the pair sort's order.
     i64 n_kept = dir_out[full - 1];

@@ -29,14 +29,20 @@ struct Reader {
     std::string id;          // last emitted record
     std::vector<uint8_t> seq;
     std::string line;        // scratch
+    long limit = -1;         // remaining byte budget (range reads)
     uint8_t code[256];
 };
 
 bool fill(Reader* r) {
     if (r->eof) return false;
-    int n = gzread(r->f, r->buf.data(), static_cast<unsigned>(r->buf.size()));
+    size_t want = r->buf.size();
+    if (r->limit >= 0 && static_cast<size_t>(r->limit) < want)
+        want = static_cast<size_t>(r->limit);
+    if (want == 0) { r->eof = true; return false; }
+    int n = gzread(r->f, r->buf.data(), static_cast<unsigned>(want));
     if (n < 0) { r->err = 1; r->eof = true; return false; }
     if (n == 0) { r->eof = true; return false; }
+    if (r->limit >= 0) r->limit -= n;
     r->pos = 0;
     r->len = static_cast<size_t>(n);
     return true;
@@ -170,6 +176,37 @@ int lt_next(void* h, const char** id, long* id_len,
 }
 
 int lt_err(void* h) { return static_cast<Reader*>(h)->err; }
+
+// Range variant for pipeline workers: parse only records in byte range
+// [b0, b1) of an UNCOMPRESSED file (range bounds from record offsets,
+// linear_tpu.utils.seqio.scan_record_offsets). Same record semantics as
+// lt_open from a record-start offset.
+void* lt_open_range(const char* path, long b0, long b1) {
+    Reader* r = new Reader();
+    r->f = gzopen(path, "rb");
+    if (!r->f) { delete r; return nullptr; }
+    if (gzseek(r->f, b0, SEEK_SET) < 0) { gzclose(r->f); delete r; return nullptr; }
+    r->limit = b1 - b0;
+    r->buf.resize(1 << 20);
+    memset(r->code, 4, sizeof(r->code));
+    const char* b = "ACGTacgt";
+    const uint8_t v[] = {0, 1, 2, 3, 0, 1, 2, 3};
+    for (int i = 0; i < 8; ++i) r->code[static_cast<uint8_t>(b[i])] = v[i];
+    std::string first;
+    if (!read_line(r, first)) { r->fmt = 0; return r; }
+    if (!first.empty() && first[0] == '>') {
+        r->fmt = '>';
+        strip(first.substr(1), r->header);
+        r->have_header = true;
+    } else if (!first.empty() && first[0] == '@') {
+        r->fmt = '@';
+        strip(first.substr(1), r->header);
+        r->have_header = true;
+    } else {
+        r->err = 2;
+    }
+    return r;
+}
 
 void lt_close(void* h) {
     Reader* r = static_cast<Reader*>(h);
