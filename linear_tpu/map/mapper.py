@@ -168,31 +168,6 @@ class Mapper:
             out[i] = a
         return out
 
-    def _device_seed_stream(self, reads: "seqio.SeqSet"):
-        """Streaming seeding for pipeline overlap: dispatches all device
-        work up front, then yields (ready, seeds) as each superchunk's
-        results land, where `seeds` is the (shared, progressively filled)
-        per-read list and reads[:ready] are final. The last yield has
-        ready == len(reads.seqs)."""
-        from ..ops import seeding as SD
-
-        disp = self._device_seed_dispatch(reads)
-        kind, eligible, payload = disp
-        n = len(reads.seqs)
-        out: List = [None] * n
-        if kind != "block":
-            yield n, out
-            return
-        pos = 0
-        for sc in payload:
-            n_valid = sc[0]
-            anchors = SD.seed_block_collect([sc], m_out=self.SEED_M_OUT)
-            for a, i in zip(anchors, eligible[pos: pos + n_valid]):
-                out[i] = a
-            pos += n_valid
-            ready = eligible[pos] if pos < len(eligible) else n
-            yield ready, out
-
     # second-tier anchor capacity for reads whose probe overflows
     # SEED_M_OUT (23% of the realistic corpus at 128; 1.4% exceed 512 —
     # measured probed distribution p50=86 p95=423 max=1275). The tier-2
