@@ -75,12 +75,24 @@ static inline void create_features_n(const u8* seq, i64 len, i64 n, Feats& out) 
     out.rows = out.own.data();
     out.n = n;
     if (n <= 0) return;
-    static int unit_int[25];
-    static i64 unit_add[25];
+    // per-lane addend tables: acc0..2 stay in REGISTERS (the indexed
+    // acc[unit_int[o]] form forces the accumulator array to memory);
+    // bit-31 (N*/TT) entries add 0 everywhere
+    static i64 t0[25], t1[25], t2[25];
     static bool init = false;
-    if (!init) { feat_units(unit_int, unit_add); init = true; }
+    if (!init) {
+        int unit_int[25];
+        i64 unit_add[25];
+        feat_units(unit_int, unit_add);
+        for (int i = 0; i < 25; i++) {
+            t0[i] = unit_int[i] == 0 ? unit_add[i] : 0;
+            t1[i] = unit_int[i] == 1 ? unit_add[i] : 0;
+            t2[i] = unit_int[i] == 2 ? unit_add[i] : 0;
+        }
+        init = true;
+    }
     // rolling: script i sums 2-mer addends over positions [16i, 16i+48)
-    i64 acc[3] = {0, 0, 0};
+    i64 a0 = 0, a1 = 0, a2 = 0;
     // position p contributes 2-mer (seq[p], seq[p+1]); seq[len] phantom 'A'
     auto ord2 = [&](i64 p) -> int {
         int a = seq[p];
@@ -89,22 +101,28 @@ static inline void create_features_n(const u8* seq, i64 len, i64 n, Feats& out) 
     };
     for (i64 p = 0; p < WINDOW48 && p < len; p++) {
         int o = ord2(p);
-        acc[unit_int[o]] += unit_add[o];
+        a0 += t0[o];
+        a1 += t1[o];
+        a2 += t2[o];
     }
-    out.own[0] = (i32)(u32)(acc[0] & 0xFFFFFFFF);
-    out.own[1] = (i32)(u32)(acc[1] & 0xFFFFFFFF);
-    out.own[2] = (i32)(u32)(acc[2] & 0xFFFFFFFF);
+    out.own[0] = (i32)(u32)(a0 & 0xFFFFFFFF);
+    out.own[1] = (i32)(u32)(a1 & 0xFFFFFFFF);
+    out.own[2] = (i32)(u32)(a2 & 0xFFFFFFFF);
     for (i64 i = 1; i < n; i++) {
         i64 lo = (i - 1) * SCPT_STEP;
         for (i64 p = lo; p < lo + SCPT_STEP; p++) {
             int o = ord2(p);
-            acc[unit_int[o]] -= unit_add[o];
+            a0 -= t0[o];
+            a1 -= t1[o];
+            a2 -= t2[o];
             o = ord2(p + WINDOW48);
-            acc[unit_int[o]] += unit_add[o];
+            a0 += t0[o];
+            a1 += t1[o];
+            a2 += t2[o];
         }
-        out.own[i * 3 + 0] = (i32)(u32)(acc[0] & 0xFFFFFFFF);
-        out.own[i * 3 + 1] = (i32)(u32)(acc[1] & 0xFFFFFFFF);
-        out.own[i * 3 + 2] = (i32)(u32)(acc[2] & 0xFFFFFFFF);
+        out.own[i * 3 + 0] = (i32)(u32)(a0 & 0xFFFFFFFF);
+        out.own[i * 3 + 1] = (i32)(u32)(a1 & 0xFFFFFFFF);
+        out.own[i * 3 + 2] = (i32)(u32)(a2 & 0xFFFFFFFF);
     }
 }
 
