@@ -33,10 +33,15 @@ typedef i64 (*BlockScoreFn)(u64, u64, u64, u64, i64, const ChainScoreParms&);
 typedef i64 (*AnchorXFn)(u64);
 
 // getBestChains (cluster_util.cpp:53): anchors sorted desc by get_anchor_x
+// templated on the score/ax callables so call sites dispatching on a
+// compile-time-known function (via lambda) get the score INLINED into
+// the DP inner loop (the function-pointer form costs an indirect call
+// per candidate edge)
+template <class ScoreF, class AxF>
 static inline void get_best_chains(const std::vector<u64>& anchors, i64 it_str,
                                    i64 it_end, i64 thd_chain_depth,
-                                   i64 thd_chain_dx_depth, AnchorScoreFn get_score,
-                                   const ChainScoreParms& parms, AnchorXFn get_ax,
+                                   i64 thd_chain_dx_depth, ScoreF get_score,
+                                   const ChainScoreParms& parms, AxF get_ax,
                                    std::vector<ChainsRecord>& recs) {
     i64 n = (i64)anchors.size();
     recs.assign(n, ChainsRecord());
@@ -261,11 +266,12 @@ static inline i64 get_apx_chain_score0(u64 a1, u64 a2, const ChainScoreParms&) {
 }
 
 // chainAnchorsBase (cluster_util.cpp:445)
+template <class ScoreF, class AxF>
 static inline void chain_anchors_base(
     const std::vector<u64>& anchors, i64 it_str, i64 it_end, i64 thd_chain_depth,
     i64 thd_chain_dx_depth, i64 thd_best_n, double stop_ratio, i64 min_len,
-    i64 abort_score, AnchorScoreFn get_score, const ChainScoreParms& parms,
-    AnchorXFn get_ax, std::vector<std::vector<u64>>& chains,
+    i64 abort_score, ScoreF get_score, const ChainScoreParms& parms,
+    AxF get_ax, std::vector<std::vector<u64>>& chains,
     std::vector<i64>* chains_score) {
     if (anchors.size() < 2) return;
     std::vector<ChainsRecord> recs;

@@ -618,11 +618,31 @@ static inline void g_create_chains_from_anchors(std::vector<u64>& anchors,
               [](u64 a, u64 b) { return ganchor_x(a) > ganchor_x(b); });
     std::vector<std::vector<u64>> chains;
     ChainScoreParms parms;
-    chain_anchors_base(anchors, 0, (i64)anchors.size(), 20, 80, 20, 0.7,
-                       gp.chn_score1.thd_min_chain_len,
-                       gp.chn_score1.thd_abort_score,
-                       gap_anchor_score_fn(gp.chn_score1.score_sel), parms,
-                       ganchor_x, chains, nullptr);
+    {
+        auto gax = [](u64 a) { return ganchor_x(a); };
+        auto run = [&](auto sf) {
+            chain_anchors_base(anchors, 0, (i64)anchors.size(), 20, 80, 20, 0.7,
+                               gp.chn_score1.thd_min_chain_len,
+                               gp.chn_score1.thd_abort_score, sf, parms, gax,
+                               chains, nullptr);
+        };
+        switch (gp.chn_score1.score_sel) {
+            case 0:
+                run([](u64 a, u64 b, const ChainScoreParms& p) {
+                    return get_gap_anchors_chain_score(a, b, p);
+                });
+                break;
+            case 1:
+                run([](u64 a, u64 b, const ChainScoreParms& p) {
+                    return get_gap_anchors_chain_score2(a, b, p);
+                });
+                break;
+            default:
+                run([](u64 a, u64 b, const ChainScoreParms& p) {
+                    return get_extend_clip_score(a, b, p);
+                });
+        }
+    }
     tiles.clear();
     for (auto& chain : chains) {
         for (u64 a : chain) tiles.push_back(ganchor2tile(a));
@@ -938,11 +958,31 @@ static inline void map_along_chain(const GapContext& cx_, const u8* seq1,
     stick_main_chain(anchors, chains, ganchor_x, ganchor_y, tile_x, tile_y, gp);
     std::vector<std::vector<u64>> chains_out;
     ChainScoreParms parms;
-    chain_anchors_base(anchors, 0, (i64)anchors.size(), 15, 30, 1, 0.7,
-                       gp.chn_ext_clip_metric1.thd_min_chain_len,
-                       gp.chn_ext_clip_metric1.thd_abort_score,
-                       gap_anchor_score_fn(gp.chn_ext_clip_metric1.score_sel),
-                       parms, ganchor_x, chains_out, nullptr);
+    {
+        auto gax = [](u64 a) { return ganchor_x(a); };
+        auto run = [&](auto sf) {
+            chain_anchors_base(anchors, 0, (i64)anchors.size(), 15, 30, 1, 0.7,
+                               gp.chn_ext_clip_metric1.thd_min_chain_len,
+                               gp.chn_ext_clip_metric1.thd_abort_score, sf,
+                               parms, gax, chains_out, nullptr);
+        };
+        switch (gp.chn_ext_clip_metric1.score_sel) {
+            case 0:
+                run([](u64 a, u64 b, const ChainScoreParms& p) {
+                    return get_gap_anchors_chain_score(a, b, p);
+                });
+                break;
+            case 1:
+                run([](u64 a, u64 b, const ChainScoreParms& p) {
+                    return get_gap_anchors_chain_score2(a, b, p);
+                });
+                break;
+            default:
+                run([](u64 a, u64 b, const ChainScoreParms& p) {
+                    return get_extend_clip_score(a, b, p);
+                });
+        }
+    }
     if (!chains_out.empty()) {
         int f_strand = tile_strand(chains[0]);
         for (u64 a : chains_out[0]) {

@@ -613,15 +613,27 @@ static inline void chain_anchors_hits(std::vector<u64>& anchors,
                                       const PMPParms& pm) {
     AnchorScoreFn get_score =
         pm.cah_score_type == 0 ? get_apx_chain_score : get_apx_chain_score0;
+    (void)get_score;
     // std::sort desc by getAnchorX (src/pmpfinder.cpp:2465)
     std::sort(anchors.begin(), anchors.end(),
               [](u64 a, u64 b) { return anchor_x(a) > anchor_x(b); });
     std::vector<std::vector<u64>> chains;
     std::vector<i64> chains_score;
     ChainScoreParms parms;
-    chain_anchors_base(anchors, 0, (i64)anchors.size(), 20, 300, 50,
-                       pm.cah_stop_ratio, 1, 45, get_score, parms, anchor_x,
-                       chains, &chains_score);
+    auto ax = [](u64 a) { return anchor_x(a); };
+    auto run = [&](auto sf) {
+        chain_anchors_base(anchors, 0, (i64)anchors.size(), 20, 300, 50,
+                           pm.cah_stop_ratio, 1, 45, sf, parms, ax,
+                           chains, &chains_score);
+    };
+    if (pm.cah_score_type == 0)
+        run([](u64 a, u64 b, const ChainScoreParms& p) {
+            return get_apx_chain_score(a, b, p);
+        });
+    else
+        run([](u64 a, u64 b, const ChainScoreParms& p) {
+            return get_apx_chain_score0(a, b, p);
+        });
     for (auto& chain : chains) {
         for (u64 a : chain) hits.push_back(hit2cord_dstr(a));
         hits.back() = set_end(hits.back());
