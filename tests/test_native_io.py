@@ -67,3 +67,45 @@ def test_synthetic_large_roundtrip(lib, tmp_path):
     assert [r[0] for r in recs] == ids
     for (rid, s), ref in zip(recs, seqs):
         assert (s == ref).all()
+
+
+def test_scan_offsets_and_range_parse(tmp_path):
+    """Byte-range worker reads: offsets + range parse == streaming parse,
+    for fasta AND fastq, native and Python parsers; gz returns None."""
+    import gzip
+
+    from linear_tpu.utils import seqio
+
+    rng = np.random.default_rng(17)
+    ids = [f"rec{i} meta {i}" for i in range(40)]
+    seqs = [rng.integers(0, 5, int(rng.integers(0, 3000))).astype(np.uint8)
+            for _ in range(40)]
+    # fasta
+    fa = str(tmp_path / "t.fa")
+    seqio.write_fasta(fa, ids, seqs)
+    offs = seqio.scan_record_offsets(fa)
+    assert offs is not None and len(offs) == 41
+    got_ids, got_seqs = [], []
+    for k in range(0, 40, 7):
+        i, j = k, min(k + 7, 40)
+        a, b = seqio.parse_records_range(fa, int(offs[i]), int(offs[j]))
+        got_ids.extend(a)
+        got_seqs.extend(b)
+    assert got_ids == ids
+    assert all(np.array_equal(x, y) for x, y in zip(got_seqs, seqs))
+    # fastq
+    fq = str(tmp_path / "t.fq")
+    with open(fq, "w") as f:
+        for rid, s in zip(ids, seqs):
+            txt = seqio.decode(s)
+            f.write(f"@{rid}\n{txt}\n+\n{'I' * len(txt)}\n")
+    offs = seqio.scan_record_offsets(fq)
+    assert offs is not None and len(offs) == 41
+    a, b = seqio.parse_records_range(fq, int(offs[3]), int(offs[11]))
+    assert a == ids[3:11]
+    assert all(np.array_equal(x, y) for x, y in zip(b, seqs[3:11]))
+    # gz: no offsets -> pipeline falls back to pickled reads
+    gz = str(tmp_path / "t.fa.gz")
+    with open(fa, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    assert seqio.scan_record_offsets(gz) is None
